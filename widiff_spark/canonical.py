@@ -1,0 +1,298 @@
+"""Canonicalization + identity core (pure Python, no Spark imports).
+
+These functions define the *identity* of every change row: the sha1 of a
+canonical ``json.dumps`` of the (homogenized) datavalue.  Byte parity with the
+reference implementation is mandatory — change detection, revert pairing and
+the PKs of every output table key on these bytes — so the serialization is
+done with the exact same ``json.dumps`` arguments the reference uses and is
+never re-serialized through Spark's ``to_json``.
+
+Reference parity map (file:line in /root/reference):
+  homogenize_datavalue      -> scripts/page_parser.py:1000-1030
+  value_hash                -> scripts/page_parser.py:1032-1082
+  reference_group_hash      -> scripts/page_parser.py:1141-1143
+  parse_datavalue_json      -> scripts/page_parser.py:250-280
+  parse_snak                -> scripts/page_parser.py:282-304
+  serialize_value           -> scripts/page_parser.py:364-376
+  clean_time_string         -> scripts/page_parser.py:1857-1858
+  id_to_int                 -> scripts/utils.py:428-432
+  time_feature              -> scripts/utils.py:442-459
+  label_change_type         -> scripts/page_parser.py:306-317
+  split_change_type         -> scripts/page_parser.py:189-200
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from datetime import datetime
+
+# --- change-type vocabulary (reference scripts/const.py:51-65) ---------------
+CREATE_PROPERTY_VALUE = "CREATE_PROPERTY_VALUE"
+UPDATE_PROPERTY_VALUE = "UPDATE_PROPERTY_VALUE"
+UPDATE_PROPERTY_DATATYPE_METADATA = "UPDATE_PROPERTY_DATATYPE_METADATA"
+DELETE_PROPERTY_VALUE = "DELETE_PROPERTY_VALUE"
+UPDATE_RANK = "UPDATE_RANK"
+CREATE_QUALIFIER_VALUE = "CREATE_QUALIFIER_VALUE"
+DELETE_QUALIFIER_VALUE = "DELETE_QUALIFIER_VALUE"
+CREATE_REFERENCE_VALUE = "CREATE_REFERENCE_VALUE"
+DELETE_REFERENCE_VALUE = "DELETE_REFERENCE_VALUE"
+
+# Wikidata sentinels (reference scripts/const.py:94-95)
+NO_VALUE = "novalue"
+SOME_VALUE = "somevalue"
+
+# datatype taxonomy (reference scripts/const.py:106-107)
+WD_STRING_TYPES = [
+    "monolingualtext", "string", "external-id", "url", "commonsMedia",
+    "geo-shape", "tabular-data", "math", "musical-notation", "unknown-values",
+]
+WD_ENTITY_TYPES = [
+    "wikibase-item", "wikibase-entityid", "wikibase-property",
+    "wikibase-lexeme", "wikibase-sense", "wikibase-form", "entity-schema",
+]
+
+# synthetic property ids for labels/descriptions (reference scripts/const.py:80-81)
+LABEL_PROP_ID = -1
+DESCRIPTION_PROP_ID = -2
+
+# end-time qualifier properties -> soft_deletion (reference page_parser.py:541-549)
+END_TIME_QUALIFIER_PIDS = (582, 8554, 12506, 3416)
+
+_TIME_LEADING_ZEROS = re.compile(r"^([+-])0*(\d+)")
+_TIME_UPDATE_NOISE = re.compile(r"^([+-])0+(?=\d{4}-)")
+_CONTROL_CHARS = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+_TZ_SUFFIX = re.compile(r"[+-]\d{2}:?\d{0,2}$")
+
+
+def id_to_int(wd_id: str) -> int:
+    """``Q38830``/``P31`` -> 38830/31 (reference scripts/utils.py:428-432)."""
+    return int(wd_id[1:])
+
+
+def homogenize_datavalue(snak: dict) -> dict:
+    """Normalize a snak in place before hashing/diffing.
+
+    Drops deprecated/unused fields (globecoordinate ``altitude``, time
+    ``before``/``after``), strips leading zeros from time strings, and
+    normalizes entity values to carry ``id`` only (synthesizing it from
+    ``numeric-id`` when absent).  Reference: page_parser.py:1000-1030.
+    """
+    if "datavalue" not in snak:  # fallback for somevalue/novalue
+        return snak
+
+    dtype = snak["datavalue"]["type"]
+    value = snak["datavalue"]["value"]
+
+    if dtype == "globecoordinate":
+        value.pop("altitude", None)
+
+    if dtype == "time":
+        value.pop("before", None)
+        value.pop("after", None)
+        value["time"] = _TIME_LEADING_ZEROS.sub(r"\1\2", value["time"])
+
+    if dtype in WD_ENTITY_TYPES:
+        if "id" not in value:
+            value["id"] = f"Q{value['numeric-id']}"
+        value.pop("numeric-id", None)
+
+    return snak
+
+
+def value_hash(hom_snak: dict | None) -> str | None:
+    """sha1 identity of a homogenized snak's datavalue.
+
+    For ``novalue``/``somevalue`` snaks the snak's own ``hash`` field is the
+    identity.  The dump preserves *insertion order* of the datavalue keys —
+    the same bytes Python's ``json.dumps`` with compact separators produces.
+    Reference: page_parser.py:1032-1082.
+    """
+    if not hom_snak:
+        return None
+    if hom_snak.get("snaktype") in (NO_VALUE, SOME_VALUE):
+        return hom_snak.get("hash")
+    payload = json.dumps(hom_snak["datavalue"], separators=(",", ":"))
+    return hashlib.sha1(payload.encode("utf-8")).hexdigest()
+
+
+def reference_group_hash(snak_pairs: list) -> str:
+    """Stable content id for a whole reference group.
+
+    ``snak_pairs`` is ``[(pid, value_hash), ...]`` over every snak in the
+    reference; sorted + default-separator json.dumps to match the reference's
+    bytes exactly (page_parser.py:1141-1143 uses ``json.dumps(sorted(...))``
+    with *default* separators).
+    """
+    return hashlib.sha1(json.dumps(sorted(snak_pairs)).encode("utf-8")).hexdigest()
+
+
+def parse_datavalue_json(value_json, datatype):
+    """Split a raw datavalue into (value, datatype, datatype_metadata).
+
+    Complex datatypes (time/quantity/globecoordinate/monolingualtext) keep the
+    principal field(s) as the value and demote everything else to metadata;
+    entity-likes reduce to the Q-id.  Reference: page_parser.py:250-280.
+    """
+    value = None
+    datatype_metadata: dict = {}
+    if isinstance(value_json, dict):
+        if datatype == "globecoordinate":
+            value = {
+                "longitude": value_json["longitude"],
+                "latitude": value_json["latitude"],
+            }
+        if datatype != "wikibase-entityid":
+            for k, v in value_json.items():
+                if k not in ("time", "amount", "text", "latitude", "longitude",
+                             "altitude", "before", "after", "timezone"):
+                    datatype_metadata[k] = v
+                elif datatype != "globecoordinate" and k not in (
+                        "altitude", "before", "after", "timezone"):
+                    value = v
+        else:
+            if "id" in value_json:
+                value = value_json.get("id")
+            else:
+                value = "Q" + str(value_json.get("numeric-id"))
+    else:
+        value = value_json
+    return value, datatype, datatype_metadata
+
+
+def parse_snak(snak: dict | None):
+    """(value, datatype, metadata) for any snak incl. sentinel snaktypes.
+
+    Reference: page_parser.py:282-304 (mainsnak path) — sentinel snaks map to
+    (sentinel, 'unknown-values', None).
+    """
+    if not snak:
+        return None, None, None
+    snaktype = snak.get("snaktype")
+    if snaktype == "value":
+        dv = snak.get("datavalue", {})
+        return parse_datavalue_json(dv.get("value"), dv.get("type"))
+    value = NO_VALUE if snaktype == "novalue" else SOME_VALUE
+    return value, "unknown-values", None
+
+
+def parse_qual_ref_snak(snak: dict):
+    """Qualifier/reference snak value parse (page_parser.py:1176-1180,
+    1302-1308): sentinel snaktypes map to (sentinel, 'string', None)."""
+    snaktype = snak.get("snaktype")
+    if snaktype in (NO_VALUE, SOME_VALUE):
+        return snaktype, "string", None
+    dv = snak["datavalue"]
+    return parse_datavalue_json(dv["value"], dv["type"])
+
+
+def serialize_value(value) -> str | None:
+    """Canonical JSON text of a change value (page_parser.py:364-368)."""
+    if value is None:
+        return None
+    return json.dumps(value, ensure_ascii=False)
+
+
+def serialize_or_empty(value) -> str:
+    """Serialized value with the reference's ``'{}'``-for-NULL convention
+    (page_parser.py:375-376 — "null = null is NULL in postgresql")."""
+    return serialize_value(value) if value else "{}"
+
+
+def clean_time_string(v: str) -> str:
+    """Strip WD-internal zero padding (``+00002013-…`` -> ``+2013-…``) used to
+    suppress formatting-only UPDATEs (page_parser.py:1854-1860)."""
+    return _TIME_UPDATE_NOISE.sub(r"\1", v)
+
+
+def split_change_type(change_type: str):
+    """``CREATE_PROPERTY_VALUE`` -> ('CREATE', 'PROPERTY_VALUE')
+    (page_parser.py:189-200)."""
+    if not change_type or "_" not in change_type:
+        return change_type, None
+    action, target = change_type.split("_", 1)
+    return action, target
+
+
+def label_change_type(old_value, new_value):
+    """CREATE / DELETE / UPDATE typing for single-valued label/description
+    changes (page_parser.py:306-317). Returns None when both sides falsy."""
+    if not old_value and new_value:
+        return CREATE_PROPERTY_VALUE
+    if old_value and not new_value:
+        return DELETE_PROPERTY_VALUE
+    if old_value and new_value and old_value != new_value:
+        return UPDATE_PROPERTY_VALUE
+    return None
+
+
+def unescape_revision_text(text: str) -> str:
+    """Stage-1 cleanup of revision text before ``json.loads``: HTML unescape,
+    smart-quote normalization, control-char strip (page_parser.py:158-164)."""
+    import html
+
+    json_text = html.unescape(text.strip())
+    json_text = (json_text.replace("“", '"').replace("”", '"')
+                 .replace("„", '"').replace("‟", '"'))
+    return _CONTROL_CHARS.sub("", json_text)
+
+
+def decode_revision_json(text: str):
+    """Two-stage tolerant JSON decode of a revision payload.
+
+    Returns the parsed dict or None (quarantine) — reference
+    page_parser.py:152-187 minus the log-file side channel (bad rows become a
+    quarantine DataFrame instead).
+    """
+    try:
+        return json.loads(unescape_revision_text(text))
+    except json.JSONDecodeError:
+        pass
+    try:
+        return json.loads(text.strip())
+    except json.JSONDecodeError:
+        return None
+
+
+def parse_timestamp(ts) -> datetime:
+    """Tolerant timestamp parse used by revert pairing
+    (feature_creation.py:888-893)."""
+    if isinstance(ts, datetime):
+        return ts
+    ts_str = str(ts).replace("T", " ").replace("Z", "")
+    ts_str = _TZ_SUFFIX.sub("", ts_str).strip()
+    return datetime.strptime(ts_str, "%Y-%m-%d %H:%M:%S")
+
+
+def time_feature(timestamp: str, option: str) -> str:
+    """Denormalized time buckets carried on every fact row.
+
+    ``week`` is ``%Y-W%V`` — *calendar* year + ISO week number, exactly the
+    reference's strftime (utils.py:442-459).  The Spark-side equivalent used
+    in enrich.py (year(ts) || '-W' || lpad(weekofyear(ts),2,'0')) is parity
+    tested against this function.
+    """
+    dt = parse_timestamp(timestamp)
+    if option == "year":
+        return str(dt.year)
+    if option == "year_month":
+        return dt.strftime("%Y-%m")
+    if option == "week":
+        return dt.strftime("%Y-W%V")
+    return timestamp
+
+
+def safe_get_nested(d, *keys):
+    """Nested dict access where any miss / list value collapses to ``{}``
+    (page_parser.py:213-235 — WD serializes empty maps as ``[]``)."""
+    default: dict = {}
+    current = d
+    for key in keys:
+        if isinstance(current, dict):
+            current = current.get(key, default)
+        else:
+            return default
+    if isinstance(current, list):
+        return default
+    return current

@@ -1,0 +1,316 @@
+"""ML feature tables as a vectorized stage over ``value_change`` (F8-F19).
+
+The reference computes these inline in the per-page loop
+(page_parser.py:320-362 ``calculate_features``); since every battery is a
+pure function of one row's serialized (old_value, new_value), we compute them
+*after* the diff, row-parallel over Arrow batches — identical outputs, no
+per-page skew, and Catalyst prunes the input to exactly the UPDATE rows.
+
+Feature-row predicate (page_parser.py:426): change_target = '' AND
+action = 'UPDATE' AND new_datatype = old_datatype; routing by datatype family
+(page_parser.py:335-361).
+
+Entity features follow the reference's two-phase design: placeholder rows at
+diff time (page_parser.py:848-871, 2178-2245) + a backfill join against the
+entity-labels dim and the broadcast transitive closures
+(feature_creation.py:1359-1466), with a ``processed`` watermark column
+(feature_creation.py:1398-1410) so re-runs are incremental.
+
+Embedding cosine (F19): sentence-transformers is optional; when absent, a
+deterministic hash-projection embedding keeps the plumbing real and testable
+(clearly marked stub — swap in ``SentenceTransformer('all-MiniLM-L6-v2')``
+on clusters that ship it, reference feature_creation.py:29-121).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import featurelib as FL
+from .canonical import WD_ENTITY_TYPES, WD_STRING_TYPES
+
+BASE_COLS = ["revision_id", "property_id", "property_label", "value_id",
+             "change_target", "new_datatype", "old_datatype", "action",
+             "old_value", "new_value"]
+_BASE_SCHEMA = ("revision_id long, property_id int, property_label string, "
+                "value_id string, change_target string, new_datatype string, "
+                "old_datatype string, action string, old_value string, "
+                "new_value string")
+
+TEXT_FEATURE_COLS = [
+    "token_overlap", "old_in_new", "new_in_old", "edit_distance_ratio",
+    "complete_replacement", "length_diff_abs", "token_count_old",
+    "token_count_new", "levenshtein_distance",
+    "same_value_without_special_char", "special_char_count_diff",
+    "char_insertions", "char_deletions", "char_substitutions",
+    "adjacent_char_swap", "has_significant_prefix", "has_significant_suffix"]
+_TEXT_TYPES = ("token_overlap double, old_in_new int, new_in_old int, "
+               "edit_distance_ratio double, complete_replacement int, "
+               "length_diff_abs int, token_count_old int, token_count_new int, "
+               "levenshtein_distance int, same_value_without_special_char int, "
+               "special_char_count_diff int, char_insertions int, "
+               "char_deletions int, char_substitutions int, "
+               "adjacent_char_swap int, has_significant_prefix int, "
+               "has_significant_suffix int")
+
+TIME_FEATURE_COLS = ["date_diff_days", "sign_change", "change_one_to_zero",
+                     "day_added", "day_removed", "month_added",
+                     "month_removed", "different_year", "different_day",
+                     "different_month"]
+QUANTITY_FEATURE_COLS = ["sign_change", "precision_change", "length_increase",
+                         "length_decrease", "whole_number_change",
+                         "old_is_prefix_of_new", "new_is_prefix_of_old",
+                         "same_float_value"]
+GLOBE_FEATURE_COLS = [
+    "latitude_sign_change", "longitude_sign_change",
+    "latitude_whole_number_change", "longitude_whole_number_change",
+    "latitude_precision_change", "longitude_precision_change",
+    "latitude_length_increase", "latitude_length_decrease",
+    "longitude_length_increase", "longitude_length_decrease",
+    "latitude_old_is_prefix_of_new", "latitude_new_is_prefix_of_old",
+    "latitude_same_float_value", "longitude_old_is_prefix_of_new",
+    "longitude_new_is_prefix_of_old", "longitude_same_float_value"]
+ENTITY_SIM_COLS = ["token_overlap", "old_in_new", "new_in_old",
+                   "edit_distance_ratio", "complete_replacement"]
+ENTITY_CLOSURE_COLS = [
+    "old_value_subclass_new_value", "new_value_subclass_old_value",
+    "old_value_located_in_new_value", "new_value_located_in_old_value",
+    "old_value_has_parts_new_value", "new_value_has_parts_old_value",
+    "old_value_part_of_new_value", "new_value_part_of_old_value"]
+
+
+def _update_rows(value_change: DataFrame) -> DataFrame:
+    return value_change.filter(
+        (F.col("change_target") == "") & (F.col("action") == "UPDATE")
+        & (F.col("new_datatype") == F.col("old_datatype")))
+
+
+def _battery_stage(rows: DataFrame, battery, feature_cols: list[str],
+                   types: str, extra_literals: dict) -> DataFrame:
+    schema = (_BASE_SCHEMA + ", " + types + ", entity_label string, "
+              + ", ".join(f"{k} {t}" for k, (t, _v) in extra_literals.items()))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [battery(o, n) for o, n in
+                     zip(pdf["old_value"], pdf["new_value"])]
+            fdf = pd.DataFrame(feats, columns=feature_cols, index=pdf.index) \
+                if feats else pd.DataFrame(columns=feature_cols)
+            out = pd.concat([pdf[BASE_COLS + ["entity_label"]], fdf], axis=1)
+            for k, (_t, v) in extra_literals.items():
+                out[k] = v
+            yield out[BASE_COLS + feature_cols + ["entity_label"]
+                      + list(extra_literals)]
+
+    cols = BASE_COLS + ["entity_label"]
+    return rows.select(*cols).mapInPandas(run, schema=schema)
+
+
+def feature_tables(value_change: DataFrame) -> dict[str, DataFrame]:
+    """All five feature tables from the enriched value_change table."""
+    upd = _update_rows(value_change)
+
+    text_rows = upd.filter(F.col("new_datatype").isin(WD_STRING_TYPES))
+    time_rows = upd.filter(F.col("new_datatype") == "time")
+    qty_rows = upd.filter(F.col("new_datatype") == "quantity")
+    globe_rows = upd.filter(F.col("new_datatype") == "globecoordinate")
+    entity_rows = upd.filter(F.col("new_datatype").isin(WD_ENTITY_TYPES))
+
+    tables = {
+        "features_text": _battery_stage(
+            text_rows, lambda o, n: FL.text_features("text", o, n),
+            TEXT_FEATURE_COLS, _TEXT_TYPES,
+            {"value_cosine_similarity": ("double", 0.0),
+             "label": ("string", ""), "processed": ("boolean", False)}),
+        "features_time": _battery_stage(
+            time_rows, FL.time_features, TIME_FEATURE_COLS,
+            ", ".join(f"{c} int" for c in TIME_FEATURE_COLS),
+            {"label": ("string", "")}),
+        "features_quantity": _battery_stage(
+            qty_rows, FL.quantity_features, QUANTITY_FEATURE_COLS,
+            ", ".join(f"{c} int" for c in QUANTITY_FEATURE_COLS),
+            {"label": ("string", "")}),
+        "features_globecoordinate": _battery_stage(
+            globe_rows, FL.globe_features, GLOBE_FEATURE_COLS,
+            ", ".join(f"{c} int" for c in GLOBE_FEATURE_COLS),
+            {"label_latitude": ("string", ""),
+             "label_longitude": ("string", "")}),
+    }
+
+    # entity features: placeholder phase (page_parser.py:848-871)
+    ent = entity_rows.select(*BASE_COLS, "entity_label")
+    for c in ENTITY_SIM_COLS:
+        ent = ent.withColumn(
+            c, F.lit(None).cast("double" if c in ("token_overlap",
+                                                  "edit_distance_ratio")
+                                else "int"))
+    ent = ent.withColumn("is_link_change", F.lit(None).cast("int"))
+    for c in ENTITY_CLOSURE_COLS:
+        ent = ent.withColumn(c, F.lit(0))
+    ent = (ent.withColumn("old_value_label", F.lit(""))
+           .withColumn("new_value_label", F.lit(""))
+           .withColumn("old_value_description", F.lit(""))
+           .withColumn("new_value_description", F.lit(""))
+           .withColumn("label_cosine_similarity", F.lit(0.0))
+           .withColumn("description_cosine_similarity", F.lit(0.0))
+           .withColumn("label", F.lit(""))
+           .withColumn("processed", F.lit(False)))
+    tables["features_entity"] = ent
+    return tables
+
+
+# --------------------------------------------------------------------------- #
+# embedding stub (F19)
+# --------------------------------------------------------------------------- #
+
+try:  # pragma: no cover - the heavy path only exists on GPU clusters
+    from sentence_transformers import SentenceTransformer  # noqa: F401
+    _HAS_ST = True
+except ImportError:
+    _HAS_ST = False
+
+
+def embed_texts(texts: list[str], dim: int = 16) -> np.ndarray:
+    """Batch text embedding.
+
+    Real path: ``SentenceTransformer('all-MiniLM-L6-v2').encode`` (reference
+    feature_creation.py:1248).  STUB path (this container): deterministic
+    sha256 projection to a unit vector — keeps batch shape/normalization
+    semantics identical so the Spark plumbing is fully exercised.
+    """
+    if _HAS_ST:  # pragma: no cover
+        model = SentenceTransformer("all-MiniLM-L6-v2")
+        return np.asarray(model.encode(list(texts)))
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, t in enumerate(texts):
+        digest = hashlib.sha256(str(t).encode("utf-8")).digest()
+        vec = np.frombuffer(digest[:dim * 2], dtype=np.uint8).astype(np.float64)
+        vec = vec[:dim] - 127.5
+        norm = np.linalg.norm(vec)
+        out[i] = vec / (norm if norm else 1.0)
+    return out
+
+
+def _cosine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    num = (a * b).sum(axis=1)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+    den[den == 0] = 1.0
+    return num / den
+
+
+# --------------------------------------------------------------------------- #
+# backfill phase (compute_remaining_features analog, SURVEY.md §3.2)
+# --------------------------------------------------------------------------- #
+
+def _strip_quotes(col):
+    return F.regexp_replace(col, '^"|"$', "")
+
+
+def backfill_entity_features(features_entity: DataFrame,
+                             entity_labels: DataFrame,
+                             closures: dict[str, DataFrame]) -> DataFrame:
+    """Fill the placeholder entity-feature columns in one declarative job.
+
+    Replaces the reference's batched SELECT/UPDATE loop
+    (feature_creation.py:1359-1466) with: broadcast label joins (label falls
+    back to alias, feature_creation.py:1337-1349), a vectorized text battery
+    + closure membership + embedding cosine, filtered to ``NOT processed``
+    (the incremental watermark).
+    """
+    todo = features_entity.filter(~F.col("processed"))
+    done = features_entity.filter(F.col("processed"))
+
+    dim = F.broadcast(entity_labels.select(
+        "qid",
+        F.when((F.col("label").isNotNull()) & (F.col("label") != ""),
+               F.col("label")).otherwise(F.col("alias")).alias("_label"),
+        F.col("description").alias("_desc")))
+
+    todo = (todo
+            .withColumn("_old_qid", _strip_quotes(F.col("old_value")))
+            .withColumn("_new_qid", _strip_quotes(F.col("new_value"))))
+    for side in ("old", "new"):
+        todo = (todo.join(dim.withColumnRenamed("qid", f"_{side}_qid_k"),
+                          todo[f"_{side}_qid"] == F.col(f"_{side}_qid_k"),
+                          "left")
+                .withColumn(f"{side}_value_label",
+                            F.coalesce("_label", F.lit("")))
+                .withColumn(f"{side}_value_description",
+                            F.coalesce("_desc", F.lit("")))
+                .drop("_label", "_desc", f"_{side}_qid_k"))
+
+    closure_maps = {
+        rel: {r["entity_id"]: set(filter(None, (r["transitive_closure_qids"]
+                                                or "").split(",")))
+              for r in df.collect()}
+        for rel, df in closures.items()}
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in todo.schema.fields
+        if not f.name.startswith("_"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rel_cols = {
+            "subclass_transitive": ("old_value_subclass_new_value",
+                                    "new_value_subclass_old_value"),
+            "located_in_transitive": ("old_value_located_in_new_value",
+                                      "new_value_located_in_old_value"),
+            "has_part_transitive": ("old_value_has_parts_new_value",
+                                    "new_value_has_parts_old_value"),
+            "part_of_transitive": ("old_value_part_of_new_value",
+                                   "new_value_part_of_old_value"),
+        }
+        for pdf in batches:
+            if len(pdf):
+                sims = [FL.text_features("entity", o, n) for o, n in
+                        zip(pdf["old_value_label"], pdf["new_value_label"])]
+                pdf[ENTITY_SIM_COLS] = pd.DataFrame(sims, index=pdf.index)
+                pdf["is_link_change"] = [
+                    int((ol == nl) and (ov != nv)) for ol, nl, ov, nv in
+                    zip(pdf["old_value_label"], pdf["new_value_label"],
+                        pdf["_old_qid"], pdf["_new_qid"])]
+                for rel, (fwd, bwd) in rel_cols.items():
+                    cmap = closure_maps.get(rel, {})
+                    pdf[fwd] = [int(n in cmap.get(o, ())) for o, n in
+                                zip(pdf["_old_qid"], pdf["_new_qid"])]
+                    pdf[bwd] = [int(o in cmap.get(n, ())) for o, n in
+                                zip(pdf["_old_qid"], pdf["_new_qid"])]
+                old_lab = embed_texts(list(pdf["old_value_label"]))
+                new_lab = embed_texts(list(pdf["new_value_label"]))
+                pdf["label_cosine_similarity"] = _cosine(old_lab, new_lab)
+                old_d = embed_texts(list(pdf["old_value_description"]))
+                new_d = embed_texts(list(pdf["new_value_description"]))
+                pdf["description_cosine_similarity"] = _cosine(old_d, new_d)
+                pdf["processed"] = True
+            yield pdf[[c for c in pdf.columns if not c.startswith("_")]]
+
+    filled = todo.mapInPandas(run, schema=out_schema)
+    return done.unionByName(filled)
+
+
+def backfill_text_features(features_text: DataFrame) -> DataFrame:
+    """value_cosine_similarity backfill for text features
+    (feature_creation.py:1207-1317), same watermark pattern."""
+    todo = features_text.filter(~F.col("processed"))
+    done = features_text.filter(F.col("processed"))
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in todo.schema.fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                old = embed_texts([str(v).replace('"', "")
+                                   for v in pdf["old_value"]])
+                new = embed_texts([str(v).replace('"', "")
+                                   for v in pdf["new_value"]])
+                pdf["value_cosine_similarity"] = _cosine(old, new)
+                pdf["processed"] = True
+            yield pdf
+
+    return done.unionByName(todo.mapInPandas(run, schema=out_schema))

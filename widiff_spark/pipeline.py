@@ -1,0 +1,129 @@
+"""End-to-end wiring: documents -> parsed -> unified diff -> typed tables.
+
+Spark-shaped restatement of the reference's main pipeline
+(main.py + file_parser.py + page_parser.py, see SURVEY.md §3.1): the
+file-claiming / queueing / multiprocess plumbing collapses into Spark task
+scheduling; the only surviving stages are
+
+    scan -> parse (mapInPandas) -> group by page -> diff (applyInPandas)
+         -> split/enrich (joins + column exprs) -> materialize
+
+Recommended session conf (see ``configure_session``): AQE on (skew-join +
+partition coalescing), UTC session timezone, Arrow enabled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from . import diff, enrich, features, parse
+from .config import DEFAULT_CONFIG, PipelineConfig
+
+CHANGE_TABLES = ["revision", "value_change", "qualifier_change",
+                 "reference_change", "datatype_metadata_change"]
+
+SESSION_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def build_session(app_name: str = "widiff", master: str | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    for k, v in SESSION_CONF.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions",
+                                 str(shuffle_partitions))
+    return builder.getOrCreate()
+
+
+@dataclass
+class PipelineResult:
+    """Lazy handles to every output table; `unified` is persisted so each
+    split reads the diff output once instead of re-running the UDF."""
+    unified: DataFrame
+    tables: dict[str, DataFrame] = field(default_factory=dict)
+
+    def unpersist(self):
+        self.unified.unpersist()
+
+
+def run_pipeline(spark: SparkSession, docs: DataFrame,
+                 config: PipelineConfig = DEFAULT_CONFIG,
+                 property_labels: DataFrame | None = None,
+                 astronomical: DataFrame | None = None,
+                 scholarly: DataFrame | None = None,
+                 persist: bool = True) -> PipelineResult:
+    from . import fixtures
+
+    property_labels = property_labels or fixtures.property_labels_df(spark)
+    astronomical = astronomical if astronomical is not None \
+        else fixtures.cohort_types_df(spark, "astronomical")
+    scholarly = scholarly if scholarly is not None \
+        else fixtures.cohort_types_df(spark, "scholarly")
+
+    parsed = parse.parse_documents(docs)
+    unified = diff.extract_changes(parsed, config)
+    if persist:
+        unified = unified.persist(StorageLevel.MEMORY_AND_DISK)
+
+    tables: dict[str, DataFrame] = {}
+
+    entity_stats = enrich.explode_entity_stats(unified)
+    cohorts = enrich.compute_cohorts(entity_stats, astronomical, scholarly,
+                                     config)
+    tables["entity_stats"] = (
+        entity_stats.join(cohorts.select(
+            "repo", "entity_id", "is_scholarly_article",
+            "is_astronomical_object", "has_less_revisions", "cohort"),
+            ["repo", "entity_id"], "left")
+        .fillna({"cohort": "rest", "is_scholarly_article": False,
+                 "is_astronomical_object": False, "has_less_revisions": False}))
+
+    label_joins = {
+        "value_change": {"property_id": "property_label"},
+        "datatype_metadata_change": {"property_id": "property_label"},
+        "qualifier_change": {"property_id": "property_label",
+                             "qual_property_id": "qual_property_label"},
+        "reference_change": {"property_id": "property_label",
+                             "ref_property_id": "ref_property_label"},
+    }
+    for name in CHANGE_TABLES:
+        t = enrich.split_table(unified, name)
+        t = enrich.add_time_buckets(t)
+        if name in label_joins:
+            t = enrich.add_property_labels(t, property_labels, label_joins[name])
+        tables[name] = t
+
+    tables["quarantine"] = parse.quarantine(parsed)
+    tables["cohorts"] = cohorts
+
+    if config.extract_features:
+        for fname, fdf in features.feature_tables(
+                tables["value_change"]).items():
+            tables[fname] = fdf
+
+    return PipelineResult(unified=unified, tables=tables)
+
+
+def triples(value_change: DataFrame) -> DataFrame:
+    """The headline (subj, pred, obj, action) change-triple view used for the
+    P/R comparison (BASELINE.json north_rule): statement-value rows only."""
+    return (value_change
+            .filter(F.col("change_target") == "")
+            .select(F.col("entity_id").alias("subj"),
+                    F.col("property_id").alias("pred"),
+                    F.coalesce(F.when(F.col("new_value") != "{}",
+                                      F.col("new_value")),
+                               F.col("old_value")).alias("obj"),
+                    "action", "revision_id", "timestamp"))
