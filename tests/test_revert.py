@@ -37,10 +37,14 @@ class TestCheckRevert:
         assert check_revert(a, b) == 1
 
     def test_empty_braces_collapse(self):
-        # '{}' is the NULL sentinel and must not match as a value
+        # '{}' is the NULL sentinel: it blocks the direct/trailing patterns
+        # (which need non-empty hashes) but *matches* the CREATE...DELETE
+        # pattern, which keys on empty sides (feature_creation.py:905-929)
         a = ch(1, "2024-01-01T00:00:00Z", "UPDATE", "{}", '"y"')
         b = ch(2, "2024-01-02T00:00:00Z", "UPDATE", '"y"', "{}")
-        assert check_revert(a, b) == 0  # direct needs non-empty curr_old
+        assert check_revert(a, b) == 1  # create_case shape
+        b2 = ch(2, "2024-01-02T00:00:00Z", "UPDATE", '"z"', "{}")
+        assert check_revert(a, b2) == 0
 
 
 class TestTagging:
