@@ -1,0 +1,91 @@
+"""Partitioned, PK-deduplicated table writes (S5/S6 analog).
+
+The reference bulk-loads via Postgres COPY into temp tables with
+``INSERT ... ON CONFLICT (pk) DO NOTHING`` (utils.py:151-241) and routes rows
+to ``{suffix}`` table families (db_writer.py:146-156).  Here:
+
+* each output table is a *partitioned* columnar table — partition spec
+  ``(cohort, entity_bucket)`` for fact tables so cohort queries prune entire
+  partitions (the ``{suffix}`` families collapsed into one table, SURVEY.md
+  §1.2) and pages co-locate by bucket;
+* ``ON CONFLICT DO NOTHING`` becomes an explicit *deterministic* PK dedup
+  (row_number over the PK ordered by all columns — the reference's winner is
+  whichever row insert-raced first, i.e. nondeterministic; SURVEY.md §7.4.6
+  requires us to pick a stable winner);
+* the write is an idempotent partition overwrite (dynamic partition
+  overwrite), the batch analog of an Iceberg ``overwritePartitions`` — on an
+  Iceberg-enabled cluster swap ``_write`` for ``df.writeTo(tbl).
+  overwritePartitions()`` (same logical contract, snapshot isolation for
+  free).
+
+Format: parquet (this container ships no Iceberg runtime); the layout and
+semantics are Iceberg-shaped so the swap is a one-liner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .schema import TABLE_PKS
+
+N_ENTITY_BUCKETS = 64  # bucket(entity_id) analog of an Iceberg bucket transform
+
+
+def dedup_by_pk(df: DataFrame, pk: list[str]) -> DataFrame:
+    """Deterministic ON-CONFLICT-DO-NOTHING: keep the first row per PK under
+    a total order of the remaining columns."""
+    order = [F.col(c).asc_nulls_last() for c in df.columns if c not in pk]
+    if not order:
+        return df.dropDuplicates(pk)
+    w = Window.partitionBy(*pk).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def with_entity_bucket(df: DataFrame, n_buckets: int = N_ENTITY_BUCKETS) -> DataFrame:
+    return df.withColumn(
+        "entity_bucket", F.pmod(F.xxhash64("repo", "entity_id"),
+                                F.lit(n_buckets)).cast("int"))
+
+
+def write_table(df: DataFrame, path: str, table: str,
+                partition_cols: list[str] | None = None,
+                mode: str = "overwrite") -> None:
+    """Idempotent partitioned write with PK dedup.
+
+    Uses dynamic partition overwrite so re-running a subset of buckets
+    replaces exactly those partitions (the resume path, checkpoint.py).
+    """
+    pk = TABLE_PKS.get(table)
+    if pk and all(c in df.columns for c in pk):
+        df = dedup_by_pk(df, pk)
+    if partition_cols is None:
+        # partition by entity_bucket only: the bucket is the checkpoint redo
+        # unit, so a dynamic partition overwrite of re-processed buckets is
+        # always exactly-once.  cohort stays a plain column (row-group stats
+        # still prune cohort filters); under Iceberg one would add
+        # ``cohort`` to the spec and let MERGE INTO reconcile moves.
+        partition_cols = []
+        if "entity_bucket" not in df.columns and "entity_id" in df.columns \
+                and "repo" in df.columns:
+            df = with_entity_bucket(df)
+        if "entity_bucket" in df.columns:
+            partition_cols.append("entity_bucket")
+    writer = (df.write.mode(mode)
+              .option("partitionOverwriteMode", "dynamic"))
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(f"{path}/{table}")
+
+
+def read_table(spark: SparkSession, path: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{path}/{table}")
+
+
+def materialize_all(tables: dict[str, DataFrame], path: str) -> dict[str, str]:
+    """Write every pipeline table; returns {table: location}."""
+    locations = {}
+    for name, df in tables.items():
+        write_table(df, path, name)
+        locations[name] = f"{path}/{name}"
+    return locations

@@ -116,6 +116,36 @@ def run_pipeline(spark: SparkSession, docs: DataFrame,
     return PipelineResult(unified=unified, tables=tables)
 
 
+def run_incremental(spark: SparkSession, docs: DataFrame, output_path: str,
+                    config: PipelineConfig = DEFAULT_CONFIG,
+                    run_id: str = "run",
+                    tables: list[str] | None = None) -> dict:
+    """Checkpointed, idempotent end-to-end run (north_rule resume contract).
+
+    Only buckets whose input advanced past the recorded high-water mark are
+    re-processed; their table partitions are overwritten in place; the
+    checkpoint table gains one lineage row (pages/revisions/triples counts)
+    per bucket.  Re-running on unchanged input is a no-op.
+    """
+    from . import checkpoint, materialize
+
+    todo = checkpoint.pending_buckets(docs, spark, output_path)
+    if not todo:
+        return {"processed_buckets": [], "tables": {}}
+
+    subset = checkpoint.filter_to_buckets(docs, todo)
+    res = run_pipeline(spark, subset, config)
+    wanted = tables or (CHANGE_TABLES + ["entity_stats"])
+    locations = {}
+    for name in wanted:
+        materialize.write_table(res.tables[name], output_path, name)
+        locations[name] = f"{output_path}/{name}"
+    lineage = checkpoint.lineage_from_unified(res.unified)
+    checkpoint.record(spark, output_path, docs, lineage, run_id)
+    res.unpersist()
+    return {"processed_buckets": todo, "tables": locations}
+
+
 def triples(value_change: DataFrame) -> DataFrame:
     """The headline (subj, pred, obj, action) change-triple view used for the
     P/R comparison (BASELINE.json north_rule): statement-value rows only."""
