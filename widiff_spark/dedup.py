@@ -1,0 +1,153 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each Spark-first and scale-shaped:
+
+* exact         — hash-groupBy on the canonical fingerprint (one shuffle);
+* minhash_lsh   — shingle -> salted-min signature -> band buckets -> bucket
+                  join; candidate verification by true Jaccard.  The minhash
+                  uses ``min(md5(salt || shingle))`` (lexicographic min of a
+                  cryptographic hash) instead of the usual (a*x+b) mod p so
+                  the signature is *engine-portable* — the DuckDB oracle
+                  reproduces it exactly;
+* simhash       — 16-bit sign-sum sketch over token hashes (bit source:
+                  parity of md5 hex chars, again portable);
+* ngram_jaccard — shared-shingle self-join with exact Jaccard (the verify
+                  path of LSH; quadratic only within shared-shingle groups);
+* embedding near-dup — cosine threshold over the embeddings table
+                  (similarity.py provides the kernels).
+
+Scale notes: at 10^12 docs the only quadratic stage is within LSH buckets;
+band width tunes the bucket size, and the shingle explode is a narrow map.
+The exact dedup and signatures are single-shuffle hash aggregations with
+map-side partial aggregation for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DEFAULT_K = 8          # minhash signature length
+DEFAULT_BANDS = 4      # LSH bands (rows per band = K / BANDS)
+DEFAULT_SHINGLE = 3    # word-shingle width
+
+
+def _norm_text(col):
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup: canonical doc per fingerprint + duplicate count."""
+    h = F.md5(_norm_text(F.col("text")))
+    return (docs.select(h.alias("fingerprint"), "doc_id")
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("canonical_doc_id"),
+                 F.count("*").alias("n_docs"))
+            .filter(F.col("n_docs") >= 1))
+
+
+def shingles(docs: DataFrame, width: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Distinct word shingles per doc (posexplode + slide, JVM-side)."""
+    toks = F.split(_norm_text(F.col("text")), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - width, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(toks, i + 1, width)))
+    return (docs.select("doc_id", F.explode(F.array_distinct(sh))
+                        .alias("shingle")))
+
+
+def minhash_signature(sh: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """k salted-min-md5 signature columns per doc — one hash aggregate."""
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+            .alias(f"mh{i}") for i in range(k)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidates(signatures: DataFrame, k: int = DEFAULT_K,
+                   bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Band-bucket join: docs sharing any band key become candidate pairs."""
+    rows_per_band = k // bands
+    band_exprs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        band_exprs.append(F.struct(F.lit(b).alias("band"),
+                                   F.md5(F.concat_ws("|", *cols)).alias("key")))
+    buckets = (signatures
+               .select("doc_id", F.explode(F.array(*band_exprs)).alias("bk"))
+               .select("doc_id", "bk.band", "bk.key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing >= 1 shingle (optionally
+    restricted to LSH candidates).  |A∩B| from the self-join; |A| via a
+    broadcastable per-doc size dim."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_common")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_common")
+                                / (F.col("sa") + F.col("sb") - F.col("n_common")),
+                                4))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("doc_a", "doc_b", "n_common", "jaccard"))
+
+
+def minhash_near_duplicates(docs: DataFrame, min_jaccard: float = 0.5,
+                            k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+                            width: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: candidates from band buckets,
+    verified by exact Jaccard."""
+    sh = shingles(docs, width)
+    cands = lsh_candidates(minhash_signature(sh, k), k, bands)
+    return jaccard_pairs(sh, min_jaccard, candidates=cands)
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Sign-sum simhash: bit j is the majority of (parity of the j-th md5 hex
+    char) over the doc's distinct tokens.  Portable: ascii()%2 in any engine."""
+    toks = (docs.select("doc_id",
+                        F.explode(F.array_distinct(
+                            F.split(_norm_text(F.col("text")), " ")))
+                        .alias("tok"))
+            .withColumn("h", F.md5("tok")))
+    bit_sums = [F.sum(F.ascii(F.substring("h", j + 1, 1)) % 2 * 2 - 1)
+                .alias(f"s{j}") for j in range(bits)]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    value = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        value = term if value is None else (value + term)
+    return agg.select("doc_id", value.cast("long").alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame,
+                            max_hamming: int = 2) -> DataFrame:
+    """Near-dups by simhash Hamming distance (bit_count(xor) in the join)."""
+    s = simhash(docs)
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"), "hamming"))

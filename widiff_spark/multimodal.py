@@ -1,0 +1,104 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+``media_type`` tag and a metadata struct; the decode / feature-extract /
+resize / frame-sample operators are ``mapInPandas`` stages whose *Spark
+plumbing* (schema, batch shape, partitioning) is real and tested, while the
+actual codec call sits behind one clearly-marked seam:
+
+* with PIL / torchaudio / av installed, plug the real decoder into
+  ``_decode_payload``;
+* in this container the decoder is a deterministic fake (byte-statistics
+  pseudo-decode) — the stage contract (input binary -> fixed-shape float
+  features) is identical, so swapping in a real codec changes no plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = ("doc_id long, media_type string, payload binary, "
+                "width int, height int, duration_ms int")
+
+try:  # pragma: no cover - real codecs are not shipped in this container
+    from PIL import Image  # noqa: F401
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic binary payloads derived from the documents table (test
+    stand-in for a real media lake)."""
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+         .when(F.col("doc_id") % 3 == 1, "audio/wav")
+         .otherwise("video/mp4").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+        (F.col("doc_id") * 40 % 60000).cast("int").alias("duration_ms"))
+
+
+def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
+    """THE DECODER SEAM.
+
+    Real implementation (requires codec libs):
+        if media_type.startswith("image/"): return np.asarray(Image.open(...))
+        ...
+    Container fallback: deterministic pseudo-decode — a 64-float signature of
+    the bytes (sha256-seeded), stable across runs and processes.
+    """
+    if _HAS_PIL and media_type.startswith("image/"):  # pragma: no cover
+        raise NotImplementedError("wire the real PIL decode here")
+    digest = hashlib.sha256(payload or b"").digest()
+    base = np.frombuffer(digest * 8, dtype=np.uint8)[:64].astype(np.float64)
+    return (base - 127.5) / 128.0
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """decode -> fixed-width feature vector, Arrow-batch-wise."""
+    schema = "doc_id long, media_type string, feature array<double>, n_bytes int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_payload(p, m).tolist()
+                     for p, m in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "feature": feats,
+                "n_bytes": [len(p or b"") for p in pdf["payload"]],
+            })
+
+    return media.select("doc_id", "media_type", "payload") \
+                .mapInPandas(run, schema=schema)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning for image rows: pure column algebra computes the
+    target geometry (JVM-side); the pixel resample itself is part of the
+    decoder seam."""
+    imgs = media.filter(F.col("media_type").startswith("image/"))
+    scale = F.least(F.lit(1.0), max_side / F.greatest("width", "height"))
+    return imgs.select(
+        "doc_id", "width", "height",
+        F.round(scale, 4).alias("scale"),
+        F.floor(F.col("width") * scale).cast("int").alias("target_width"),
+        F.floor(F.col("height") * scale).cast("int").alias("target_height"))
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (sequence + explode, JVM-side)."""
+    vids = media.filter(F.col("media_type").startswith("video/"))
+    return vids.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("duration_ms"),
+                             F.lit(every_ms))).alias("frame_ts_ms"))

@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* ``cosine`` / ``knn_bruteforce`` — exact baseline: JVM-side dot products via
+  ``zip_with`` + ``aggregate`` (no Python in the loop), window top-k.
+* ``knn_lsh`` — random-hyperplane LSH: sign-bit sketches from
+  deterministically-derived hyperplanes, bucket join, rerank within bucket.
+  The scale path: candidate generation is an equi-join on the sketch, so
+  the quadratic term is bounded by bucket size.
+* ``knn_ivf`` — IVF-style coarse quantization: deterministic centroid seed
+  (first ``n_cells`` vectors), assign-by-argmax, search only the probe's
+  ``n_probe`` nearest cells.
+
+All kernels compute in float64 after casting, summing in index order, so the
+DuckDB oracle (list_cosine_similarity over DOUBLE[]) agrees to rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double")
+                                  * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def pairwise_cosine(embeddings: DataFrame, min_cosine: float) -> DataFrame:
+    """Embedding near-dup pairs: all (a < b) with cosine >= threshold."""
+    a = embeddings.alias("a")
+    b = embeddings.alias("b")
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(cosine_expr(F.col("a.embedding"),
+                                        F.col("b.embedding")), 4)
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= min_cosine))
+
+
+def knn_bruteforce(embeddings: DataFrame, queries: DataFrame,
+                   k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries``: (query_id, embedding).  Broadcast the (small) query side so
+    the big corpus never shuffles — scoring is a map-only stage; only the
+    per-query top-k reduction exchanges data.
+    """
+    q = F.broadcast(queries.select(F.col("query_id"),
+                                   F.col("embedding").alias("q_emb")))
+    scored = (embeddings.crossJoin(q)
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(cosine_expr(F.col("embedding"),
+                                          F.col("q_emb")), 4).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from sha256 (no RNG state)."""
+    import hashlib
+    out = []
+    i = 0
+    while len(out) < dim:
+        digest = hashlib.sha256(f"{plane}:{i}".encode()).digest()
+        out.extend(b - 127.5 for b in digest)
+        i += 1
+    return [float(v) for v in out[:dim]]
+
+
+def lsh_sketch(embeddings: DataFrame, dim: int, n_planes: int = 8,
+               emb_col: str = "embedding") -> DataFrame:
+    """Sign-bit sketch: bit p = (embedding . hyperplane_p) >= 0."""
+    sketch = None
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        bit = F.when(_dot(F.col(emb_col), plane) >= 0,
+                     F.lit(1 << p)).otherwise(F.lit(0))
+        sketch = bit if sketch is None else (sketch + bit)
+    return embeddings.withColumn("sketch", sketch.cast("int"))
+
+
+def knn_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
+            k: int = 5, n_planes: int = 8) -> DataFrame:
+    """Bucketed ANN: equi-join on the sketch, exact rerank inside buckets.
+
+    Recall < 1 by construction (a NN in another bucket is missed) — that is
+    the documented trade; the exact baseline above is the oracle."""
+    corpus = lsh_sketch(embeddings, dim, n_planes)
+    probes = lsh_sketch(queries, dim, n_planes, emb_col="embedding") \
+        .select("query_id", F.col("embedding").alias("q_emb"), "sketch")
+    scored = (corpus.join(F.broadcast(probes), "sketch")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(cosine_expr(F.col("embedding"),
+                                          F.col("q_emb")), 4).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def knn_ivf(embeddings: DataFrame, queries: DataFrame, n_cells: int = 16,
+            n_probe: int = 4, k: int = 5) -> DataFrame:
+    """IVF-style ANN: coarse centroids = the first ``n_cells`` corpus vectors
+    (deterministic seed), assignment by max cosine, probe the query's
+    ``n_probe`` best cells only."""
+    centroids = F.broadcast(
+        embeddings.orderBy("vec_id").limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"),
+                F.col("embedding").alias("c_emb")))
+
+    def assign(df, id_col, emb_col, keep: int):
+        scored = (df.crossJoin(centroids)
+                  .select(id_col, emb_col,
+                          "cell_id",
+                          cosine_expr(F.col(emb_col), F.col("c_emb"))
+                          .alias("c_cos")))
+        w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"),
+                                               F.asc("cell_id"))
+        return (scored.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= keep).drop("__r", "c_cos"))
+
+    corpus = assign(embeddings, "vec_id", "embedding", keep=1)
+    probes = assign(queries.select("query_id",
+                                   F.col("embedding").alias("q_emb")),
+                    "query_id", "q_emb", keep=n_probe)
+    scored = (corpus.join(probes, "cell_id")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(cosine_expr(F.col("embedding"),
+                                          F.col("q_emb")), 4).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))

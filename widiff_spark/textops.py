@@ -1,0 +1,92 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All four operators are pure JVM-side column algebra (no Python in the hot
+path): language-ID (stopword-membership heuristic), quality scoring,
+token counting, and document fingerprinting.  Each has an exact ANSI-SQL
+oracle in ``__spark_entry__.oracle_sql`` — the implementations deliberately
+use only engine-portable primitives (md5, ascii, regexp splits) so DuckDB
+reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic;
+# deterministic and mirrored into the SQL oracle
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "es"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist"],
+}
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic,
+    the standard budget approximation for byte-level BPE vocabularies)."""
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.ceil(F.length("text") / 4).cast("long").alias("n_bpe_est"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: length band + punctuation ratio +
+    stopword ratio + mean word length (rounded for cross-engine stability)."""
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    stop_list = sorted(set(w for ws in STOPWORDS.values() for w in ws))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(stop_list)))
+    mean_word_len = F.round((n_chars - (n_tokens - F.lit(1)))
+                            / F.greatest(n_tokens, F.lit(1)), 4)
+    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 4)
+    stop_ratio = F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4)
+    score = F.round(
+        F.when((n_tokens >= 5) & (n_tokens <= 1000), 0.4).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, 0.3).otherwise(0.0)
+        + F.least(stop_ratio * 2, F.lit(0.3)), 4)
+    return docs.select("doc_id", n_tokens.alias("n_tokens"),
+                       punct_ratio.alias("punct_ratio"),
+                       stop_ratio.alias("stopword_ratio"),
+                       mean_word_len.alias("mean_word_len"),
+                       score.alias("quality"))
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-membership language ID: explode tokens, broadcast-join the
+    stopword dim, argmax hits per doc (ties -> lexicographically first
+    language; zero hits -> 'und')."""
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
+        "cand_lang string, word string")
+    toks = docs.select("doc_id",
+                       F.explode(_tokens(F.lower("text"))).alias("word"))
+    from pyspark.sql import Window
+    hits = (toks.join(F.broadcast(dim), "word")
+            .groupBy("doc_id", "cand_lang").agg(F.count("*").alias("hits")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
+    best = (hits.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .select("doc_id", F.col("cand_lang").alias("lang_pred"),
+                    F.col("hits").alias("lang_hits")))
+    return (docs.select("doc_id").join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+                    F.coalesce("lang_hits", F.lit(0)).alias("lang_hits")))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Canonical document fingerprint: md5 of the whitespace-normalized,
+    lowercased text (the rolling-hash analog, engine-portable)."""
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
