@@ -1,0 +1,107 @@
+"""Benchmark harness (driver-run per round; BENCH_r{N}.json).
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "kg_triples": N, "kg_revisions": N, "triples_per_sec": N,
+     "revisions_per_sec": N}
+
+Headline: the full KG change-extraction pipeline (parse -> grouped diff ->
+revert tagging -> enrichment -> counts) over a versioned-document corpus
+derived from the sf documents table, replicated xREPEAT for volume.
+The reference's implied throughput is ~280 revisions/sec pipeline-wide on
+11 cores (BASELINE.md); two-parallelism scaling evidence lives in
+BENCH/BASELINE.md (scripts/scaling_bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from widiff_spark import dedup, fixtures, relops, similarity  # noqa: E402
+from widiff_spark.pipeline import build_session, run_pipeline, triples  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("WIDIFF_BENCH_REPEAT", "24"))
+
+
+def main() -> None:
+    spark = build_session(app_name="widiff-bench", master=f"local[{CPUS}]",
+                          shuffle_partitions=max(CPUS * 2, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    t_total = time.time()
+
+    # -- headline: KG pipeline end-to-end ---------------------------------
+    t0 = time.time()
+    docs = fixtures.corpus_from_documents(spark, SF_DIR, repeat=REPEAT)
+    res = run_pipeline(spark, docs)
+    n_triples = triples(res.tables["value_change"]).count()
+    n_revisions = res.tables["revision"].count()
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    extras["kg_triples"] = n_triples
+    extras["kg_revisions"] = n_revisions
+    extras["triples_per_sec"] = round(n_triples / kg_sec, 1)
+    extras["revisions_per_sec"] = round(n_revisions / kg_sec, 1)
+
+    # entity stats + cohort routing on top of the persisted diff
+    t0 = time.time()
+    res.tables["entity_stats"].groupBy("cohort").count().collect()
+    timings["kg_entity_stats"] = round(time.time() - t0, 3)
+
+    # feature batteries over the persisted change stream
+    t0 = time.time()
+    res.tables["features_text"].count()
+    res.tables["features_quantity"].count()
+    timings["kg_features"] = round(time.time() - t0, 3)
+    res.unpersist()
+
+    # -- training-data ops -------------------------------------------------
+    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    t0 = time.time()
+    dedup.minhash_near_duplicates(docs_tbl, min_jaccard=0.5).count()
+    timings["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    queries = emb.filter("vec_id < 20").selectExpr(
+        "vec_id as query_id", "embedding")
+    similarity.knn_bruteforce(emb, queries, k=10).count()
+    timings["ann_knn_bruteforce"] = round(time.time() - t0, 3)
+
+    # -- relational suite over the big fact table --------------------------
+    for name in ["rel_pricing_summary", "rel_broadcast_join",
+                 "rel_window_lag", "rel_snapshot_diff"]:
+        t0 = time.time()
+        relops.QUERIES[name](spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_total, 3)
+    out = {
+        "metric": "widiff_spark_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "bench_repeat": REPEAT,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,5 +26,16 @@ def result(spark):
     return collected
 
 
+@pytest.fixture(scope="session")
+def result_dfs(spark):
+    """Pipeline output on the edge-case corpus as live DataFrames (for tests
+    that exercise further Spark stages on top)."""
+    docs = fixtures.edge_case_corpus(spark, include_hot_page=True,
+                                     hot_revisions=50)
+    res = run_pipeline(spark, docs)
+    yield res
+    res.unpersist()
+
+
 def by_entity(pdf, entity_id):
     return pdf[pdf["entity_id"] == entity_id]
