@@ -1,0 +1,55 @@
+"""One scaling-bench measurement: run the KG pipeline end-to-end at
+local[$CPUS] and print a JSON line with wall time + row counts.
+
+Warm-up job first so JVM/Arrow init is excluded from the measured window
+(the cluster analog measures steady-state executor throughput, not JVM
+start)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from widiff_spark import fixtures  # noqa: E402
+from widiff_spark.pipeline import build_session, run_pipeline, triples  # noqa: E402
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SCALING_CPUS", "8"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("WIDIFF_BENCH_REPEAT", "24"))
+
+    spark = build_session(app_name=f"widiff-scaling-{cpus}",
+                          master=f"local[{cpus}]",
+                          shuffle_partitions=max(cpus * 2, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM/codegen/Arrow initialization outside the measured window
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    fixtures.corpus_from_documents(spark, sf_dir, repeat=1).count()
+
+    t0 = time.time()
+    docs = fixtures.corpus_from_documents(spark, sf_dir, repeat=repeat)
+    res = run_pipeline(spark, docs)
+    n_triples = triples(res.tables["value_change"]).count()
+    n_revisions = res.tables["revision"].count()
+    elapsed = time.time() - t0
+    res.unpersist()
+
+    print(json.dumps({
+        "cpus": cpus,
+        "elapsed_sec": round(elapsed, 3),
+        "n_triples": n_triples,
+        "n_revisions": n_revisions,
+        "triples_per_sec": round(n_triples / elapsed, 1),
+        "revisions_per_sec": round(n_revisions / elapsed, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
