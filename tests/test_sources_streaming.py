@@ -1,0 +1,148 @@
+"""XML dump ingestion (S1) + Structured Streaming surface (T1-T5) tests."""
+
+from __future__ import annotations
+
+import bz2
+import json
+
+from widiff_spark import sources, streaming
+from widiff_spark.pipeline import run_pipeline
+
+XML_TEMPLATE = """<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.11/">
+  <page>
+    <title>Q7000</title>
+    <ns>0</ns>
+    <revision>
+      <id>1</id>
+      <timestamp>2024-01-01T00:00:00Z</timestamp>
+      <contributor><username>Alice</username><id>7</id></contributor>
+      <comment>create</comment>
+      <text>{rev1}</text>
+    </revision>
+    <revision>
+      <id>2</id>
+      <parentid>1</parentid>
+      <timestamp>2024-01-02T00:00:00Z</timestamp>
+      <contributor><username>Bob</username><id>8</id></contributor>
+      <comment>update label</comment>
+      <text>{rev2}</text>
+    </revision>
+    <revision>
+      <id>3</id>
+      <parentid>2</parentid>
+      <timestamp>2024-01-03T00:00:00Z</timestamp>
+      <text bytes="11" sha1="x" deleted="deleted"/>
+    </revision>
+    <revision>
+      <id>4</id>
+      <parentid>3</parentid>
+      <timestamp>2024-01-04T00:00:00Z</timestamp>
+      <contributor><username>Eve</username><id>9</id></contributor>
+      <text>{{broken json</text>
+    </revision>
+  </page>
+  <page>
+    <title>Property:P1</title>
+    <revision><id>9</id>
+      <timestamp>2024-01-01T00:00:00Z</timestamp>
+      <text>ignored</text>
+    </revision>
+  </page>
+</mediawiki>
+"""
+
+
+def _snapshot(label, qid="Q5"):
+    body = json.dumps({
+        "labels": {"en": {"language": "en", "value": label}},
+        "descriptions": {}, "aliases": {},
+        "claims": {"P31": [{"id": "q7000$S1", "type": "statement",
+                            "rank": "normal",
+                            "mainsnak": {"snaktype": "value", "property": "P31",
+                                         "datavalue": {"value": {
+                                             "entity-type": "item", "id": qid,
+                                             "numeric-id": int(qid[1:])},
+                                             "type": "wikibase-entityid"}}}]},
+        "sitelinks": {}})
+    return body.replace("&", "&amp;").replace("<", "&lt;").replace('"', "&quot;")
+
+
+def _dump_xml() -> str:
+    return XML_TEMPLATE.format(rev1=_snapshot("first label"),
+                               rev2=_snapshot("second label"))
+
+
+class TestXmlSource:
+    def test_roundtrip_plain_and_bz2(self, spark, tmp_path):
+        (tmp_path / "dump1.xml").write_text(_dump_xml())
+        (tmp_path / "dump2.xml.bz2").write_bytes(
+            bz2.compress(_dump_xml().encode()))
+        docs = sources.read_mediawiki_dump(spark, str(tmp_path / "dump*"))
+        pdf = docs.toPandas()
+        # 2 files x (3 Q-page revisions kept + 1 deleted); P-page dropped
+        assert len(pdf) == 8
+        assert set(pdf.path) == {"Q7000"}
+        assert (pdf.lang == "deleted").sum() == 2
+
+        res = run_pipeline(spark, docs)
+        vc = res.tables["value_change"].toPandas()
+        rev = res.tables["revision"].toPandas()
+        q = res.tables["quarantine"].toPandas()
+        res.unpersist()
+        for repo in ("dump1.xml", "dump2.xml.bz2"):
+            sub = vc[vc.repo == repo]
+            assert ("CREATE" == sub.action).sum() == 2   # P31 + label
+            assert ("UPDATE" == sub.action).sum() == 1   # label update
+            # deleted revision (id 3) invisible; broken rev 4 quarantined
+            assert list(rev[rev.repo == repo]
+                        .sort_values("revision_id").revision_id) == [1, 2]
+        assert len(q) == 2 and set(q.error) == {"json_decode_error"}
+
+    def test_escaped_text_decoded(self, spark, tmp_path):
+        (tmp_path / "d.xml").write_text(_dump_xml())
+        docs = sources.read_mediawiki_dump(spark, str(tmp_path / "d.xml"))
+        row = docs.filter("commit = 'r0000000001'").collect()[0]
+        payload = json.loads(row["content"])
+        assert payload["labels"]["en"]["value"] == "first label"
+        assert payload["meta"]["username"] == "Alice"
+
+
+class TestStreaming:
+    def test_foreachbatch_incremental(self, spark, tmp_path):
+        from widiff_spark import fixtures
+        in_dir = str(tmp_path / "incoming")
+        docs = fixtures.edge_case_corpus(spark, include_hot_page=False)
+        docs.write.mode("overwrite").parquet(in_dir)
+
+        stream = streaming.stream_documents(spark, in_dir,
+                                            max_files_per_trigger=4)
+        assert stream.isStreaming
+        q = streaming.run_streaming_pipeline(
+            stream, staging_dir=str(tmp_path / "staging"),
+            output_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        q.stop()
+
+        vc = spark.read.parquet(str(tmp_path / "out/value_change"))
+        batch = run_pipeline(spark, docs)
+        expected = batch.tables["value_change"].count()
+        batch.unpersist()
+        assert vc.count() == expected
+
+    def test_watermarked_rates(self, spark, tmp_path):
+        from widiff_spark import fixtures
+        in_dir = str(tmp_path / "incoming2")
+        fixtures.edge_case_corpus(spark, include_hot_page=False) \
+            .write.mode("overwrite").parquet(in_dir)
+        stream = streaming.stream_documents(spark, in_dir)
+        rates = streaming.revision_rates(stream, window="1 day")
+        q = (rates.writeStream.format("memory").queryName("rates_tbl")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt2"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        out = spark.sql("select * from rates_tbl").toPandas()
+        assert len(out) > 0
+        assert (out.n_revisions > 0).all()

@@ -31,9 +31,9 @@ from .materialize import N_ENTITY_BUCKETS
 
 CHECKPOINT_TABLE = "_checkpoints/highwater"
 
-_SCHEMA = ("bucket int, max_commit string, num_pages long, "
-           "num_revisions long, num_triples long, run_id string, "
-           "completed_at double")
+_SCHEMA = ("bucket int, max_commit string, n_input_rows long, "
+           "num_pages long, num_revisions long, num_triples long, "
+           "run_id string, completed_at double")
 
 
 def bucket_col(n_buckets: int = N_ENTITY_BUCKETS):
@@ -59,6 +59,7 @@ def input_watermarks(docs: DataFrame,
             .withColumn("bucket", bucket_col(n_buckets))
             .groupBy("bucket")
             .agg(F.max("commit").alias("input_max_commit"),
+                 F.count("*").alias("n_input_rows"),
                  F.approx_count_distinct("path").alias("approx_pages")))
 
 
@@ -66,10 +67,15 @@ def pending_buckets(docs: DataFrame, spark: SparkSession, path: str,
                     n_buckets: int = N_ENTITY_BUCKETS) -> list[int]:
     """Buckets whose input advanced past the recorded high-water mark."""
     marks = input_watermarks(docs, n_buckets)
-    ckpt = read_checkpoints(spark, path).select("bucket", "max_commit")
+    ckpt = read_checkpoints(spark, path).select(
+        "bucket", "max_commit",
+        F.col("n_input_rows").alias("ckpt_rows"))
     joined = marks.join(ckpt, "bucket", "left")
+    # a bucket re-runs when its max commit advanced OR its row count changed
+    # (late / out-of-order arrivals carry commits below the recorded mark)
     rows = (joined.filter(F.col("max_commit").isNull()
-                          | (F.col("input_max_commit") > F.col("max_commit")))
+                          | (F.col("input_max_commit") > F.col("max_commit"))
+                          | (F.col("n_input_rows") != F.col("ckpt_rows")))
             .select("bucket").collect())
     return sorted(r["bucket"] for r in rows)
 
@@ -97,11 +103,18 @@ def lineage_from_unified(unified: DataFrame,
 
 def record(spark: SparkSession, path: str, docs: DataFrame,
            lineage: DataFrame, run_id: str,
-           n_buckets: int = N_ENTITY_BUCKETS) -> None:
+           n_buckets: int = N_ENTITY_BUCKETS,
+           buckets: list[int] | None = None) -> None:
     """Upsert checkpoint rows: new marks win over old per bucket (MERGE INTO
-    on an Iceberg catalog; read-modify-overwrite on plain parquet)."""
+    on an Iceberg catalog; read-modify-overwrite on plain parquet).
+
+    ``buckets`` restricts the upsert to the buckets actually processed this
+    run — untouched buckets keep their previous lineage rows."""
     marks = input_watermarks(docs, n_buckets).select(
-        "bucket", F.col("input_max_commit").alias("max_commit"))
+        "bucket", F.col("input_max_commit").alias("max_commit"),
+        "n_input_rows")
+    if buckets is not None:
+        marks = marks.filter(F.col("bucket").isin(buckets))
     new = (marks.join(lineage, "bucket", "left")
            .fillna(0, ["num_pages", "num_revisions", "num_triples"])
            .withColumn("run_id", F.lit(run_id))

@@ -90,10 +90,23 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
                   candidates: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing >= 1 shingle (optionally
     restricted to LSH candidates).  |A∩B| from the self-join; |A| via a
-    broadcastable per-doc size dim."""
+    broadcastable per-doc size dim.
+
+    When a candidate set is given, the verify path intersects *only the
+    candidate pairs*: the shingle self-join is restricted by semi-joins on
+    each side before the pair aggregation, so verification cost is
+    O(candidates x shingles), not O(all shared-shingle pairs) — at corpus
+    scale the unrestricted self-join is the quadratic trap."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    if candidates is not None:
+        sh_a = sh.join(candidates.select(F.col("doc_a").alias("doc_id"))
+                       .distinct(), "doc_id", "left_semi")
+        sh_b = sh.join(candidates.select(F.col("doc_b").alias("doc_id"))
+                       .distinct(), "doc_id", "left_semi")
+    else:
+        sh_a = sh_b = sh
+    a = sh_a.alias("a")
+    b = sh_b.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),

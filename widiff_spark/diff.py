@@ -814,8 +814,8 @@ def _hashable(value):
 _DEFAULT_ROW = {c: None for c in _UNIFIED_COLUMNS}
 
 
-def _page_to_unified(repo: str, result: dict) -> list[dict]:
-    out: list[dict] = []
+def _emit_page(out_cols: dict, repo: str, result: dict) -> None:
+    """Append one page's rows into the bucket's columnar accumulators."""
     entity_label = result["entity_label"]
 
     def emit(table: str, row: dict, extra: dict | None = None):
@@ -824,11 +824,12 @@ def _page_to_unified(repo: str, result: dict) -> list[dict]:
         u["repo"] = repo
         u["entity_label"] = entity_label
         for k, v in row.items():
-            if k in u and k != "_key":
+            if k != "_key" and k in u:
                 u[k] = v
         if extra:
             u.update(extra)
-        out.append(u)
+        for c, acc in out_cols.items():
+            acc.append(u[c])
 
     for row in result["revision"]:
         emit("revision", row)
@@ -844,40 +845,63 @@ def _page_to_unified(repo: str, result: dict) -> list[dict]:
     stats = dict(result["entity_stats"])
     emit("entity_stats", {"entity_id": stats["entity_id"]},
          {"payload": json.dumps(stats, ensure_ascii=False)})
-    return out
 
 
-def make_page_diff_udf(config: PipelineConfig = DEFAULT_CONFIG):
-    def page_diff(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("commit", kind="mergesort")
-        repo = pdf["repo"].iloc[0]
-        entity_id = int(pdf["entity_id"].iloc[0])
-        revisions = []
-        for rec in pdf.to_dict("records"):
-            rec["digest"] = (json.loads(rec["snapshot"])
-                             if rec["parse_ok"] and rec["snapshot"] else None)
-            rec["username"] = rec["username"] or ""
-            rec["comment"] = rec["comment"] or ""
-            rec["user_id"] = rec["user_id"] or ""
-            revisions.append(rec)
-        differ = PageDiffer(repo, entity_id, config)
-        result = differ.process_page(revisions)
-        rows = _page_to_unified(repo, result)
-        return pd.DataFrame(rows, columns=_UNIFIED_COLUMNS)
-    return page_diff
+def diff_page_frame(pdf: pd.DataFrame, repo: str, entity_id: int,
+                    config: PipelineConfig) -> dict:
+    """One page's revisions (already filtered) -> PageDiffer result."""
+    pdf = pdf.sort_values("commit", kind="mergesort")
+    revisions = []
+    for rec in pdf.to_dict("records"):
+        rec["digest"] = (json.loads(rec["snapshot"])
+                         if rec["parse_ok"] and rec["snapshot"] else None)
+        rec["username"] = rec["username"] or ""
+        rec["comment"] = rec["comment"] or ""
+        rec["user_id"] = rec["user_id"] or ""
+        revisions.append(rec)
+    differ = PageDiffer(repo, entity_id, config)
+    return differ.process_page(revisions)
+
+
+def make_bucket_diff_udf(config: PipelineConfig = DEFAULT_CONFIG):
+    """Grouped-map UDF over page *buckets*, not single pages.
+
+    Grouping the shuffle by bucket (many pages per group) amortizes the
+    per-group Arrow/pandas overhead ~1000x versus per-page groups — at
+    120k pages the harness overhead dominated the actual diff work.  Pages
+    are replayed independently inside the bucket (pandas groupby), and one
+    columnar DataFrame is materialized per bucket."""
+    def bucket_diff(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_cols: dict = {c: [] for c in _UNIFIED_COLUMNS}
+        for (repo, _path), g in pdf.groupby(["repo", "path"], sort=False):
+            entity_id = int(g["entity_id"].iloc[0])
+            result = diff_page_frame(g, repo, entity_id, config)
+            _emit_page(out_cols, repo, result)
+        return pd.DataFrame(out_cols, columns=_UNIFIED_COLUMNS)
+    return bucket_diff
 
 
 def extract_changes(parsed: DataFrame,
-                    config: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+                    config: PipelineConfig = DEFAULT_CONFIG,
+                    n_buckets: int | None = None) -> DataFrame:
     """Parsed revisions -> unified change stream (one grouped-map pass).
 
-    Groups by page identity (repo, path).  The digest columns are the only
-    payload that shuffles; everything wide (original content) was dropped at
-    parse time, keeping the exchange small.
+    The shuffle key is a deterministic page-hash bucket (pages never split
+    across buckets); bucket count defaults to 4x the shuffle parallelism so
+    stragglers rebalance.  Only the compact digest columns shuffle —
+    everything wide (original content) was dropped at parse time.
     """
+    from pyspark.sql import functions as F
+
+    if n_buckets is None:
+        spark = parsed.sparkSession
+        n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions",
+                                           "200"))
     cols = ["repo", "path", "commit", "entity_id", "revision_id", "timestamp",
             "username", "user_id", "comment", "is_deleted", "parse_ok",
             "snapshot"]
     return (parsed.select(*cols)
-            .groupBy("repo", "path")
-            .applyInPandas(make_page_diff_udf(config), schema=UNIFIED_SCHEMA))
+            .withColumn("__bucket",
+                        F.pmod(F.xxhash64("repo", "path"), F.lit(n_buckets)))
+            .groupBy("__bucket")
+            .applyInPandas(make_bucket_diff_udf(config), schema=UNIFIED_SCHEMA))

@@ -35,7 +35,6 @@ Digest format (one JSON string per revision), consumed by diff.py::
 
 from __future__ import annotations
 
-import copy
 import json
 from typing import Iterator
 
@@ -64,8 +63,10 @@ def _digest_statement(stmt: dict) -> dict:
         C.parse_snak(mainsnak) if mainsnak else (None, None, None))
     raw_hash = mainsnak.get("hash")
 
-    # all later paths: homogenize, canonical hash (page_parser.py:1607, 1659, 1804-1810)
-    hom = C.homogenize_datavalue(copy.deepcopy(mainsnak))
+    # all later paths: homogenize, canonical hash (page_parser.py:1607,
+    # 1659, 1804-1810).  In-place mutation is safe: this revision's parsed
+    # JSON is owned by this call and the raw value/hash were captured above.
+    hom = C.homogenize_datavalue(mainsnak)
     value, datatype, metadata = C.parse_snak(hom)
     vhash = C.value_hash(hom)
 
@@ -76,7 +77,7 @@ def _digest_statement(stmt: dict) -> dict:
         for qpid, snaks in qualifiers.items():
             hash_map = {}
             for snak in snaks:
-                hsnak = C.homogenize_datavalue(copy.deepcopy(snak))
+                hsnak = C.homogenize_datavalue(snak)
                 h = C.value_hash(hsnak)
                 qval, qdt, _ = C.parse_qual_ref_snak(hsnak)
                 hash_map[h] = [h, qval, qdt]
@@ -92,7 +93,7 @@ def _digest_statement(stmt: dict) -> dict:
         hom_snaks = []
         for rpid, rsnaks in snaks.items():
             for snak in rsnaks:
-                hsnak = C.homogenize_datavalue(copy.deepcopy(snak))
+                hsnak = C.homogenize_datavalue(snak)
                 h = C.value_hash(hsnak)
                 pairs.append((rpid, h))
                 hom_snaks.append((rpid, h, hsnak))

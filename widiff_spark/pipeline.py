@@ -35,10 +35,18 @@ SESSION_CONF = {
 
 
 def build_session(app_name: str = "widiff", master: str | None = None,
-                  shuffle_partitions: int | None = None) -> SparkSession:
+                  shuffle_partitions: int | None = None,
+                  driver_memory: str | None = None) -> SparkSession:
+    """Session with the engine's conf.  In local mode the driver JVM is the
+    whole cluster, so give it real heap (local[32] with a 1g default OOMs on
+    the wide diff shuffles); on a real cluster spark-submit owns memory."""
+    import os
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    mem = driver_memory or os.environ.get("WIDIFF_DRIVER_MEMORY", "24g")
+    builder = builder.config("spark.driver.memory", mem) \
+                     .config("spark.driver.maxResultSize", "4g")
     for k, v in SESSION_CONF.items():
         builder = builder.config(k, v)
     if shuffle_partitions:
@@ -141,7 +149,8 @@ def run_incremental(spark: SparkSession, docs: DataFrame, output_path: str,
         materialize.write_table(res.tables[name], output_path, name)
         locations[name] = f"{output_path}/{name}"
     lineage = checkpoint.lineage_from_unified(res.unified)
-    checkpoint.record(spark, output_path, docs, lineage, run_id)
+    checkpoint.record(spark, output_path, docs, lineage, run_id,
+                      buckets=todo)
     res.unpersist()
     return {"processed_buckets": todo, "tables": locations}
 
