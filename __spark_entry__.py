@@ -92,6 +92,31 @@ def kg_features_text(spark, sf_dir):
         .orderBy("revision_id", "property_id", "value_id")
 
 
+def kg_property_stats(spark, sf_dir):
+    from widiff_spark import analysis
+    return analysis.property_stats(
+        _pipeline(spark, sf_dir).tables["value_change"]) \
+        .orderBy("property_id")
+
+
+def kg_cohort_rollup(spark, sf_dir):
+    from widiff_spark import analysis
+    return analysis.cohort_rollup(
+        _pipeline(spark, sf_dir).tables["entity_stats"])
+
+
+def kg_entity_type_stats(spark, sf_dir):
+    from widiff_spark import analysis
+    return analysis.entity_type_stats(
+        _pipeline(spark, sf_dir).tables["entity_stats"]) \
+        .orderBy("p31_type")
+
+
+def kg_quarantine(spark, sf_dir):
+    return _pipeline(spark, sf_dir).tables["quarantine"] \
+        .orderBy("repo", "path", "commit")
+
+
 # ---------------------------------------------------------------------------
 # training-data operators over documents/embeddings
 # ---------------------------------------------------------------------------
@@ -168,6 +193,24 @@ def mm_media_features(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def mm_resize_plan(spark, sf_dir):
+    from widiff_spark import multimodal
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    return multimodal.resize_images(media).orderBy("doc_id")
+
+
+def mm_frame_sample(spark, sf_dir):
+    from widiff_spark import multimodal
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    return multimodal.sample_frames(media).orderBy("doc_id", "frame_ts_ms")
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_duplicates(_docs(spark, sf_dir),
+                                         max_hamming=1) \
+        .orderBy("doc_a", "doc_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {
         # KG pipeline (SURVEY §2.1-§2.10 core: S4, J3-J6, W1-W4, A1-A3, F1-F7)
@@ -185,11 +228,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "ann_knn_bruteforce": ann_knn_bruteforce,
         "ann_knn_lsh": ann_knn_lsh,
         "ann_knn_ivf": ann_knn_ivf,
         "mm_media_features": mm_media_features,
+        "mm_resize_plan": mm_resize_plan,
+        "mm_frame_sample": mm_frame_sample,
+        "kg_property_stats": kg_property_stats,
+        "kg_cohort_rollup": kg_cohort_rollup,
+        "kg_entity_type_stats": kg_entity_type_stats,
+        "kg_quarantine": kg_quarantine,
     }
     out.update(relops.QUERIES)
     return out
@@ -370,6 +420,51 @@ def oracle_sql() -> dict[str, str]:
                       AS INT) AS rank
           FROM scored)
         SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    _MEDIA = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               CAST(doc_id % 640 + 16 AS INT) AS width,
+               CAST(doc_id % 480 + 16 AS INT) AS height,
+               CAST(doc_id * 40 % 60000 AS INT) AS duration_ms
+        FROM documents
+    """
+    out["mm_resize_plan"] = f"""
+        WITH media AS ({_MEDIA})
+        SELECT doc_id, width, height,
+               round(least(1.0, 256 / greatest(width, height)), 4) AS scale,
+               CAST(floor(width * least(1.0, 256 / greatest(width, height)))
+                    AS INT) AS target_width,
+               CAST(floor(height * least(1.0, 256 / greatest(width, height)))
+                    AS INT) AS target_height
+        FROM media WHERE media_type LIKE 'image/%' ORDER BY doc_id
+    """
+    out["mm_frame_sample"] = f"""
+        WITH media AS ({_MEDIA})
+        SELECT doc_id,
+               CAST(unnest(generate_series(0, duration_ms, 1000)) AS INT)
+                 AS frame_ts_ms
+        FROM media WHERE media_type LIKE 'video/%'
+        ORDER BY doc_id, frame_ts_ms
+    """
+    out["dedup_simhash_pairs"] = f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+          FROM documents),
+        h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        bits AS (
+          SELECT doc_id,
+               {bit_sums}
+          FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST({bit_value} AS BIGINT) AS simhash
+                FROM bits)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        ORDER BY doc_a, doc_b
     """
     # kg_* / ann_knn_lsh / ann_knn_ivf / mm_media_features: intentionally no
     # oracle — grouped-map UDF semantics (kg), recall<1 ANN variants, and the

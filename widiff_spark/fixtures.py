@@ -582,4 +582,8 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str,
         docs = (docs.crossJoin(reps)
                 .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
                 .drop("rep"))
-    return docs.mapInPandas(_corpus_batches, schema=DOCUMENTS_SCHEMA)
+    # the seed table is one tiny parquet file -> one partition; spread the
+    # (CPU-bound) generation over the cluster before fanning out
+    n_parts = max(spark.sparkContext.defaultParallelism * 4, 16)
+    return docs.repartition(n_parts).mapInPandas(_corpus_batches,
+                                                 schema=DOCUMENTS_SCHEMA)

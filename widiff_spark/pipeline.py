@@ -31,6 +31,10 @@ SESSION_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # the parse stage is CPU-bound Python over modest bytes: split file scans
+    # well below the 128m default so a handful of input files still fans out
+    # to every core (row-group-bounded; writers here emit many small files)
+    "spark.sql.files.maxPartitionBytes": "16m",
 }
 
 
