@@ -28,8 +28,18 @@ def main() -> None:
                           shuffle_partitions=max(cpus * 2, 16))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM/codegen/Arrow initialization outside the measured window
+    # warm-up: JVM/codegen/Arrow init AND a full wave of Python workers
+    # (each core's worker pays module imports once) outside the measured
+    # window — a real cluster measures steady-state executor throughput
+    import pandas as _pd
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _noop(batches):
+        for b in batches:
+            yield _pd.DataFrame({"n": [len(b)]})
+
+    (spark.range(cpus * 8 * 1000).repartition(cpus * 8)
+     .mapInPandas(_noop, "n long").count())
     fixtures.corpus_from_documents(spark, sf_dir, repeat=1).count()
 
     # corpus synthesis is input prep, not engine time: materialize first

@@ -847,18 +847,21 @@ def _emit_page(out_cols: dict, repo: str, result: dict) -> None:
          {"payload": json.dumps(stats, ensure_ascii=False)})
 
 
-def diff_page_frame(pdf: pd.DataFrame, repo: str, entity_id: int,
-                    config: PipelineConfig) -> dict:
-    """One page's revisions (already filtered) -> PageDiffer result."""
-    pdf = pdf.sort_values("commit", kind="mergesort")
-    revisions = []
-    for rec in pdf.to_dict("records"):
+def _prep_revisions(records: list[dict]) -> list[dict]:
+    for rec in records:
         rec["digest"] = (json.loads(rec["snapshot"])
                          if rec["parse_ok"] and rec["snapshot"] else None)
         rec["username"] = rec["username"] or ""
         rec["comment"] = rec["comment"] or ""
         rec["user_id"] = rec["user_id"] or ""
-        revisions.append(rec)
+    return records
+
+
+def diff_page_frame(pdf: pd.DataFrame, repo: str, entity_id: int,
+                    config: PipelineConfig) -> dict:
+    """One page's revisions (already filtered) -> PageDiffer result."""
+    pdf = pdf.sort_values("commit", kind="mergesort")
+    revisions = _prep_revisions(pdf.to_dict("records"))
     differ = PageDiffer(repo, entity_id, config)
     return differ.process_page(revisions)
 
@@ -868,15 +871,21 @@ def make_bucket_diff_udf(config: PipelineConfig = DEFAULT_CONFIG):
 
     Grouping the shuffle by bucket (many pages per group) amortizes the
     per-group Arrow/pandas overhead ~1000x versus per-page groups — at
-    120k pages the harness overhead dominated the actual diff work.  Pages
-    are replayed independently inside the bucket (pandas groupby), and one
-    columnar DataFrame is materialized per bucket."""
+    120k pages the harness overhead dominated the actual diff work.  One
+    vectorized sort + one to_dict over the whole bucket, then plain-Python
+    grouping (per-page pandas slicing profiled ~2x slower); one columnar
+    DataFrame materialized per bucket."""
+    from itertools import groupby as _groupby
+
     def bucket_diff(pdf: pd.DataFrame) -> pd.DataFrame:
         out_cols: dict = {c: [] for c in _UNIFIED_COLUMNS}
-        for (repo, _path), g in pdf.groupby(["repo", "path"], sort=False):
-            entity_id = int(g["entity_id"].iloc[0])
-            result = diff_page_frame(g, repo, entity_id, config)
-            _emit_page(out_cols, repo, result)
+        pdf = pdf.sort_values(["repo", "path", "commit"], kind="mergesort")
+        records = _prep_revisions(pdf.to_dict("records"))
+        for (repo, _path), revs in _groupby(
+                records, key=lambda r: (r["repo"], r["path"])):
+            revisions = list(revs)
+            differ = PageDiffer(repo, int(revisions[0]["entity_id"]), config)
+            _emit_page(out_cols, repo, differ.process_page(revisions))
         return pd.DataFrame(out_cols, columns=_UNIFIED_COLUMNS)
     return bucket_diff
 

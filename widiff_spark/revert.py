@@ -43,6 +43,16 @@ def _pair_hash(change: dict, side: str) -> str:
     return str(v).strip() if v != "{}" else ""
 
 
+def _epoch(change: dict) -> float:
+    """Memoized timestamp parse — the pairwise scan would otherwise strptime
+    the same value once per comparison (the #1 hot spot in profiling)."""
+    ts = change.get("_ts_epoch")
+    if ts is None:
+        ts = C.parse_timestamp(change["timestamp"]).timestamp()
+        change["_ts_epoch"] = ts
+    return ts
+
+
 def check_revert(current: dict, future: dict,
                  time_threshold: int = DEFAULT_TIME_THRESHOLD_SECONDS) -> int:
     """1 if ``future`` reverts ``current`` (feature_creation.py:877-934)."""
@@ -52,8 +62,7 @@ def check_revert(current: dict, future: dict,
     next_new = _pair_hash(future, "new_value")
     next_comment = str(future.get("comment", "")).lower()
 
-    diff_ts = (C.parse_timestamp(future["timestamp"])
-               - C.parse_timestamp(current["timestamp"])).total_seconds()
+    diff_ts = _epoch(future) - _epoch(current)
 
     direct = (curr_old == next_new and curr_new == next_old
               and curr_old != "" and next_new != ""
