@@ -25,7 +25,21 @@ from widiff_spark.pipeline import run_pipeline, triples
 _PIPELINE_CACHE: dict[str, object] = {}
 
 
+def _ensure_conf(spark: SparkSession) -> SparkSession:
+    """The driver owns the session; set the runtime-settable conf the engine
+    semantics depend on (UTC week/year buckets, Arrow batches, AQE)."""
+    for k, v in (("spark.sql.session.timeZone", "UTC"),
+                 ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+                 ("spark.sql.adaptive.enabled", "true")):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
 def _pipeline(spark: SparkSession, sf_dir: str):
+    _ensure_conf(spark)
     if sf_dir not in _PIPELINE_CACHE:
         docs = fixtures.corpus_from_documents(spark, sf_dir)
         _PIPELINE_CACHE[sf_dir] = run_pipeline(spark, docs)
@@ -40,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_conf(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 

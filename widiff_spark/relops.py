@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:  # week/year buckets + ts comparisons assume UTC (runtime-settable)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
