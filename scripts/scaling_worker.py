@@ -23,9 +23,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repeat = int(os.environ.get("WIDIFF_BENCH_REPEAT", "24"))
 
+    # identical logical plan at both levels: shuffle partitioning is a
+    # property of the job, not the cluster size (as on a real cluster)
     spark = build_session(app_name=f"widiff-scaling-{cpus}",
                           master=f"local[{cpus}]",
-                          shuffle_partitions=max(cpus * 2, 16))
+                          shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM/codegen/Arrow init AND a full wave of Python workers
