@@ -25,6 +25,37 @@ from widiff_spark.pipeline import run_pipeline, triples
 _PIPELINE_CACHE: dict[str, object] = {}
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``widiff_spark`` importable on Python workers regardless of the
+    driver's cwd/sys.path — the session-level analog of
+    ``spark-submit --py-files`` (north_rule deployment contract).  Without
+    this, UDF closures unpickle only when workers happen to inherit a cwd
+    containing the package."""
+    if id(spark) in _SHIPPED_SESSIONS:
+        return
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join("/tmp", f"widiff_spark_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            src = os.path.join(pkg_dir, "widiff_spark")
+            for root, _dirs, files in os.walk(src):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, pkg_dir))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Connect sessions without an SC; cwd-based import applies
+    _SHIPPED_SESSIONS.add(id(spark))
+
+
 def _ensure_conf(spark: SparkSession) -> SparkSession:
     """The driver owns the session; set the runtime-settable conf the engine
     semantics depend on (UTC week/year buckets, Arrow batches, AQE)."""
@@ -35,6 +66,7 @@ def _ensure_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass
+    _ship_package(spark)
     return spark
 
 
@@ -105,6 +137,43 @@ def kg_entity_stats(spark, sf_dir):
 def kg_features_text(spark, sf_dir):
     return _pipeline(spark, sf_dir).tables["features_text"] \
         .orderBy("revision_id", "property_id", "value_id")
+
+
+def kg_features_time(spark, sf_dir):
+    return _pipeline(spark, sf_dir).tables["features_time"] \
+        .orderBy("revision_id", "property_id", "value_id")
+
+
+def kg_features_quantity(spark, sf_dir):
+    return _pipeline(spark, sf_dir).tables["features_quantity"] \
+        .orderBy("revision_id", "property_id", "value_id")
+
+
+def kg_features_globecoordinate(spark, sf_dir):
+    return _pipeline(spark, sf_dir).tables["features_globecoordinate"] \
+        .orderBy("revision_id", "property_id", "value_id")
+
+
+def kg_features_entity(spark, sf_dir):
+    return _pipeline(spark, sf_dir).tables["features_entity"] \
+        .orderBy("revision_id", "property_id", "value_id")
+
+
+def kg_qualifier_change(spark, sf_dir):
+    return _pipeline(spark, sf_dir).tables["qualifier_change"] \
+        .orderBy("revision_id", "property_id", "value_id", "qual_property_id",
+                 "value_hash")
+
+
+def kg_reference_change(spark, sf_dir):
+    return _pipeline(spark, sf_dir).tables["reference_change"] \
+        .orderBy("revision_id", "property_id", "value_id", "ref_property_id",
+                 "value_hash", "ref_hash")
+
+
+def kg_datatype_metadata_change(spark, sf_dir):
+    return _pipeline(spark, sf_dir).tables["datatype_metadata_change"] \
+        .orderBy("revision_id", "property_id", "value_id", "change_target")
 
 
 def kg_property_stats(spark, sf_dir):
@@ -234,6 +303,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_revision": kg_revision,
         "kg_entity_stats": kg_entity_stats,
         "kg_features_text": kg_features_text,
+        "kg_features_time": kg_features_time,
+        "kg_features_quantity": kg_features_quantity,
+        "kg_features_globecoordinate": kg_features_globecoordinate,
+        "kg_features_entity": kg_features_entity,
+        "kg_qualifier_change": kg_qualifier_change,
+        "kg_reference_change": kg_reference_change,
+        "kg_datatype_metadata_change": kg_datatype_metadata_change,
         # training-data ops
         "text_token_count": text_token_count,
         "text_quality": text_quality,
@@ -481,8 +557,20 @@ def oracle_sql() -> dict[str, str]:
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
         ORDER BY doc_a, doc_b
     """
-    # kg_* / ann_knn_lsh / ann_knn_ivf / mm_media_features: intentionally no
-    # oracle — grouped-map UDF semantics (kg), recall<1 ANN variants, and the
-    # media decode seam are not SQL-expressible; the driver records the
-    # rows-only check and their value-level gates live in tests/.
+    # kg_* queries: the oracle is the pure-pandas reference pipeline
+    # (widiff_spark/golden.py) materialized as parquet by
+    # scripts/make_golden.py — shared per-row kernels (PageDiffer/digest,
+    # pinned by tests/test_diff_golden.py against the reference semantics),
+    # fully independent orchestration (no Spark, no bucketing, no Arrow, no
+    # joins).  DuckDB reads the golden parquet directly.
+    import os
+    gdir = os.environ.get("WIDIFF_GOLDEN_DIR", "/root/repo/golden/sf0.01")
+    for q in ("kg_triples", "kg_value_change", "kg_revision",
+              "kg_qualifier_change", "kg_reference_change",
+              "kg_datatype_metadata_change", "kg_entity_stats",
+              "kg_features_text", "kg_features_time", "kg_features_quantity",
+              "kg_features_globecoordinate", "kg_features_entity",
+              "kg_quarantine", "kg_property_stats", "kg_cohort_rollup",
+              "kg_entity_type_stats"):
+        out[q] = f"SELECT * FROM read_parquet('{gdir}/{q}.parquet')"
     return out

@@ -534,7 +534,16 @@ def transitive_closure_df(spark: SparkSession, relation: str) -> DataFrame:
 # bench corpus derived from the driver's generic documents table
 # --------------------------------------------------------------------------- #
 
+# P31 type values cycled per doc so cohorts / entity_type_stats have mass
+_CORPUS_TYPES = ["Q5", "Q523", "Q13442814", "Q318", "Q591041", "Q2"]
+
+
 def _corpus_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Derived corpus: every operator family gets real rows — statement
+    value/rank changes, qualifier + reference churn (J4/J5), time / quantity /
+    globecoordinate / entity value updates (F15-F18), monolingual language
+    routing, deleted revisions (W2), redirects (P3), broken JSON (quarantine),
+    bot/anon/human users (P6).  All hash-derived, seed-free."""
     for pdf in batches:
         out: list[dict] = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -546,27 +555,86 @@ def _corpus_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             path = f"Q{doc_id + 10000}"
             repo = f"wd-shard-{doc_id % 16}"
             base_rid = doc_id * 100
+            p31_type = _CORPUS_TYPES[h % len(_CORPUS_TYPES)]
             for i in range(n_revs):
                 rid = base_rid + i
                 ts = _ts(i, doc_id % 24)
                 tok = tokens[(h + i) % len(tokens)]
+
+                if h % 17 == 0 and i == n_revs - 2:
+                    # undecodable revision -> quarantine channel
+                    out.append(row(path, rid, json.dumps(
+                        {"meta": {"revision_id": rid, "timestamp": ts}})[:-1]
+                        + ', "claims": {broken', repo=repo))
+                    continue
+                if h % 11 == 0 and i == 1:
+                    # suppressed text -> parent-pointer repair path
+                    out.append(row(path, rid, json.dumps(
+                        {"meta": {"revision_id": rid, "parent_id": rid - 1,
+                                  "timestamp": ts}}), lang="deleted",
+                        repo=repo))
+                    continue
+                if h % 13 == 0 and i == n_revs - 1:
+                    # page ends in a redirect (merge target = its type page)
+                    out.append(row(path, rid, content(
+                        rid, ts, redirect=p31_type, entity=path), repo=repo))
+                    continue
+
+                # qualifier churn: start-time qualifier present 2 of 3 revs
+                quals = ({"P580": [time_snak(
+                    "P580", f"+200{i % 10}-01-01T00:00:00Z")]}
+                    if (h + i) % 3 else None)
+                # reference churn: group alternates membership -> hash churn
+                refs = None
+                if (h + i) % 4 == 0:
+                    snaks = {"P143": [entity_snak("P143", "Q328")]}
+                    if i % 2:
+                        snaks["P854"] = [string_snak(
+                            "P854", f"https://example.org/{doc_id}")]
+                    refs = [reference(snaks)]
+
                 claims = {
                     "P31": [statement(f"q{doc_id}$S1",
-                                      entity_snak("P31", "Q5"))],
+                                      entity_snak("P31", p31_type))],
                     "P1476": [statement(f"q{doc_id}$S2",
                                         string_snak("P1476",
                                                     " ".join(tokens[:(i % 5) + 1])))],
-                    "P1082": [statement(f"q{doc_id}$S3",
-                                        quantity_snak("P1082", f"+{h % 1000 + i}"))],
+                    "P1082": [statement(
+                        f"q{doc_id}$S3",
+                        quantity_snak("P1082", f"+{h % 1000 + i}"),
+                        rank="preferred" if i % 6 == 5 else "normal",
+                        qualifiers=quals, references=refs)],
+                    # time value: real change every 3rd rev (F17 + F4 path)
+                    "P569": [statement(f"q{doc_id}$S4", time_snak(
+                        "P569", f"+19{50 + (h + i // 3) % 50}-01-01T00:00:00Z"))],
                 }
+                if h % 3 == 0:
+                    # drifting coordinate -> globecoordinate UPDATEs (F16)
+                    claims["P625"] = [statement(f"q{doc_id}$S5", globe_snak(
+                        "P625", round(10 + (h % 80) + i * 0.01, 4),
+                        round((h % 160) - 80.0, 4)))]
+                if h % 5 == 0:
+                    # entity value flips -> features_entity rows (F18)
+                    claims["P361"] = [statement(f"q{doc_id}$S6", entity_snak(
+                        "P361", "Q2" if (h + i) % 2 else "Q544"))]
+                if h % 7 == 0:
+                    # monolingual: language flips en<->de (metadata routing)
+                    claims["P1448"] = [statement(f"q{doc_id}$S7", mono_snak(
+                        "P1448", f"name {doc_id}",
+                        "en" if (h + i) % 2 else "de"))]
                 if i % 4 == 3:  # periodically drop a pid to force DELETEs
                     del claims["P1082"]
+
                 comment = "Undid revision" if (i == n_revs - 1 and h % 7 == 0) else tok
+                username = ("LoadBot" if doc_id % 3 == 0
+                            else "" if (doc_id % 9 == 1 and i % 2 == 0)
+                            else f"user{h % 11}")
                 out.append(row(path, rid, content(
                     rid, ts, label=f"doc {doc_id}", desc=tok,
                     claims=claims,
-                    username="LoadBot" if doc_id % 3 == 0 else f"user{h % 11}",
-                    user_id=str(h % 11), comment=comment), repo=repo))
+                    username=username,
+                    user_id="" if username == "" else str(h % 11),
+                    comment=comment), repo=repo))
         yield pd.DataFrame(out, columns=["repo", "path", "commit", "lang",
                                          "content"])
 
