@@ -230,8 +230,13 @@ def dedup_exact(spark, sf_dir):
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard, candidate-bounded by rare shingles (df <= 100):
+    the unrestricted shared-shingle self-join is quadratic on any hot
+    shingle at corpus scale."""
     sh = dedup.shingles(_docs(spark, sf_dir))
-    return dedup.jaccard_pairs(sh, min_jaccard=0.8).orderBy("doc_a", "doc_b")
+    cands = dedup.rare_shingle_candidates(sh, max_df=100)
+    return dedup.jaccard_pairs(sh, min_jaccard=0.8, candidates=cands) \
+        .orderBy("doc_a", "doc_b")
 
 
 def dedup_minhash_lsh(spark, sf_dir):
@@ -245,7 +250,11 @@ def dedup_simhash(spark, sf_dir):
 
 
 def dedup_embedding_cosine(spark, sf_dir):
-    return similarity.pairwise_cosine(_emb(spark, sf_dir), min_cosine=0.4) \
+    """LSH-bucketed embedding near-dup: sketch equi-join candidates, exact
+    cosine verify inside buckets (the all-pairs cartesian does not survive
+    corpus scale; the oracle applies the identical sketch restriction)."""
+    return similarity.bucketed_pairwise_cosine(
+        _emb(spark, sf_dir), min_cosine=0.4, dim=64, n_planes=4) \
         .orderBy("vec_a", "vec_b")
 
 
@@ -358,6 +367,20 @@ _SHINGLES = """
       FROM t, unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS u(s))
 """.format(norm=_NORM)
 
+def _sketch_sql(emb_expr: str, n_planes: int, dim: int = 64) -> str:
+    """The sign-bit LSH sketch as DuckDB SQL with the deterministic sha256
+    hyperplanes (similarity._hyperplane) inlined as constants — the oracle
+    recomputes the bucketing independently of Spark."""
+    from widiff_spark.similarity import _hyperplane
+    terms = []
+    for p in range(n_planes):
+        plane = "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({emb_expr} AS DOUBLE[]), "
+            f"{plane}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 _MINHASH_SIG = _SHINGLES + """
     , sig AS (
       SELECT doc_id,
@@ -427,19 +450,27 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1 ORDER BY fingerprint
     """
     out["dedup_ngram_jaccard"] = _SHINGLES + """
-        , sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        , rare AS (
+          SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM (SELECT * FROM sh WHERE shingle IN (SELECT shingle FROM rare)) a
+          JOIN (SELECT * FROM sh WHERE shingle IN (SELECT shingle FROM rare)) b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
           FROM sh a JOIN sh b
             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
-        SELECT doc_a, doc_b, n_common,
-               round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.8
-        ORDER BY doc_a, doc_b
+        SELECT i.doc_a, i.doc_b, i.n_common,
+               round(i.n_common / (sa.n + sb.n - i.n_common), 4) AS jaccard
+        FROM inter i
+        JOIN cands c ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE round(i.n_common / (sa.n + sb.n - i.n_common), 4) >= 0.8
+        ORDER BY i.doc_a, i.doc_b
     """
     bands = []
     for b in range(4):
@@ -483,12 +514,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST({bit_value} AS BIGINT) AS simhash
         FROM bits ORDER BY doc_id
     """
-    out["dedup_embedding_cosine"] = """
+    out["dedup_embedding_cosine"] = f"""
+        WITH sk AS (
+          SELECT vec_id, embedding,
+                 {_sketch_sql('embedding', n_planes=4)} AS sketch
+          FROM embeddings)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_cosine_similarity(
                  CAST(a.embedding AS DOUBLE[]),
                  CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM sk a JOIN sk b
+          ON a.sketch = b.sketch AND a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
@@ -556,6 +592,89 @@ def oracle_sql() -> dict[str, str]:
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
         ORDER BY doc_a, doc_b
+    """
+    out["ann_knn_lsh"] = f"""
+        WITH corpus AS (
+          SELECT vec_id, embedding,
+                 {_sketch_sql('embedding', n_planes=4)} AS sketch
+          FROM embeddings),
+        q0 AS (
+          SELECT vec_id AS query_id, embedding AS q_emb,
+                 {_sketch_sql('embedding', n_planes=4)} AS sketch
+          FROM embeddings WHERE vec_id < 5),
+        q AS (  -- radius-1 multi-probe: own bucket + one-bit-flip buckets
+          SELECT query_id, q_emb,
+                 unnest([sketch, xor(sketch, 1), xor(sketch, 2),
+                         xor(sketch, 4), xor(sketch, 8)]) AS sketch
+          FROM q0),
+        scored AS (
+          SELECT DISTINCT q.query_id, c.vec_id,
+                 round(list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(q.q_emb AS DOUBLE[])), 4) AS cosine
+          FROM corpus c JOIN q ON c.sketch = q.sketch
+          WHERE c.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC)
+                      AS INT) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, cosine, rank FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    out["ann_knn_ivf"] = """
+        WITH cent AS (
+          SELECT vec_id AS cell_id, embedding AS c_emb
+          FROM embeddings ORDER BY vec_id LIMIT 16),
+        corpus_sc AS (
+          SELECT e.vec_id, e.embedding, c.cell_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(c.c_emb AS DOUBLE[])) AS c_cos
+          FROM embeddings e CROSS JOIN cent c),
+        corpus AS (
+          SELECT vec_id, embedding, cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY c_cos DESC, cell_id ASC) AS r
+            FROM corpus_sc) WHERE r = 1),
+        probe_sc AS (
+          SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cell_id,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(c.c_emb AS DOUBLE[])) AS c_cos
+          FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5),
+        probes AS (
+          SELECT query_id, q_emb, cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY c_cos DESC, cell_id ASC) AS r
+            FROM probe_sc) WHERE r <= 4),
+        scored AS (
+          SELECT p.query_id, c.vec_id,
+                 round(list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]),
+                   CAST(p.q_emb AS DOUBLE[])), 4) AS cosine
+          FROM corpus c JOIN probes p ON c.cell_id = p.cell_id
+          WHERE c.vec_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, vec_id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC)
+                      AS INT) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, cosine, rank FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    # the fake-decoder seam is deterministic sha256 byte statistics — the
+    # oracle recomputes f0 = (digest[0] - 127.5) / 128 from the hex digest
+    _B0 = ("((instr('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16"
+           " + (instr('0123456789abcdef', substr(sha256(text), 2, 1)) - 1))")
+    out["mm_media_features"] = f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               round(({_B0} - 127.5) / 128.0, 4) AS f0
+        FROM documents ORDER BY doc_id
     """
     # kg_* queries: the oracle is the pure-pandas reference pipeline
     # (widiff_spark/golden.py) materialized as parquet by

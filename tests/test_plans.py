@@ -90,6 +90,62 @@ class TestAggregation:
         assert "*(" in plan(df, mode="simple")
 
 
+class TestNoCartesianPairs:
+    """The pair-generation operators must be equi-joins on a bucket key,
+    never all-pairs products (VERDICT r1: the cartesians are scale-killers)."""
+
+    def test_simhash_pairs_band_equijoin(self, spark):
+        from widiff_spark import dedup
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = plan(dedup.simhash_near_duplicates(docs, max_hamming=1))
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        # an equi hash join on the pigeonhole band key (broadcast at this sf;
+        # AQE upgrades to SMJ/shuffled-hash when the side outgrows the hint)
+        assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                or "BroadcastHashJoin" in p)
+
+    def test_embedding_neardup_bucket_equijoin(self, spark):
+        from widiff_spark import similarity
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        p = plan(similarity.bucketed_pairwise_cosine(emb, 0.4, dim=64,
+                                                     n_planes=4))
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+
+    def test_jaccard_candidates_df_capped(self, spark):
+        from widiff_spark import dedup
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        sh = dedup.shingles(docs)
+        cands = dedup.rare_shingle_candidates(sh, max_df=100)
+        p = plan(dedup.jaccard_pairs(sh, 0.8, candidates=cands))
+        assert "CartesianProduct" not in p
+        assert "LeftSemi" in p  # candidate restriction reached the plan
+
+    def test_entity_backfill_no_collect(self, spark):
+        """Closure membership is joins, not a driver dict: the plan carries
+        semi-joins against the exploded closure dim."""
+        from widiff_spark import features
+        vc = spark.createDataFrame(
+            [(1, 361, "part of", "q1$S1", "", "wikibase-item", "wikibase-item",
+              "UPDATE", '"Q523"', '"Q318"', "star")],
+            "revision_id long, property_id int, property_label string, "
+            "value_id string, change_target string, new_datatype string, "
+            "old_datatype string, action string, old_value string, "
+            "new_value string, entity_label string")
+        fe = features.feature_tables(vc)["features_entity"]
+        closures = {rel: fixtures.transitive_closure_df(spark, rel)
+                    for rel in fixtures.TRANSITIVE_CLOSURES}
+        out = features.backfill_entity_features(
+            fe, fixtures.entity_labels_df(spark), closures)
+        p = plan(out)
+        assert "LeftSemi" in p
+        row = out.filter("not processed").count()
+        assert row == 0  # everything backfilled
+        got = out.collect()[0]
+        assert got["old_value_subclass_new_value"] == 1  # Q523 -> Q318
+
+
 class TestDiffShuffle:
     def test_single_exchange_into_grouped_diff(self, spark, tmp_path):
         from widiff_spark import diff, parse

@@ -125,6 +125,24 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
             .select("doc_a", "doc_b", "n_common", "jaccard"))
 
 
+def rare_shingle_candidates(sh: DataFrame, max_df: int = 100) -> DataFrame:
+    """Candidate pairs sharing at least one *rare* shingle (document
+    frequency <= max_df).  The DF cap bounds the self-join's per-shingle
+    group to max_df² — hot shingles ("the end of") stop generating quadratic
+    candidate storms; a true near-dup pair (jaccard >= 0.8) shares many
+    shingles, so at any realistic corpus it shares a rare one.  The cap is a
+    recall/latency dial, mirrored exactly by the DuckDB oracle."""
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(df_counts.filter(F.col("df") <= max_df).select("shingle"),
+                   "shingle", "left_semi")
+    a, b = rare.alias("a"), rare.alias("b")
+    return (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
 def minhash_near_duplicates(docs: DataFrame, min_jaccard: float = 0.5,
                             k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
                             width: int = DEFAULT_SHINGLE) -> DataFrame:
@@ -153,14 +171,41 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return agg.select("doc_id", value.cast("long").alias("simhash"))
 
 
-def simhash_near_duplicates(docs: DataFrame,
-                            max_hamming: int = 2) -> DataFrame:
-    """Near-dups by simhash Hamming distance (bit_count(xor) in the join)."""
-    s = simhash(docs)
-    a, b = s.alias("a"), s.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-            .withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 2,
+                            bits: int = 16) -> DataFrame:
+    """Near-dups by simhash Hamming distance — pigeonhole band join.
+
+    Split the ``bits``-bit signature into ``max_hamming + 1`` contiguous
+    bands: two signatures within ``max_hamming`` bit flips MUST agree on at
+    least one whole band (pigeonhole), so candidate generation is an
+    *equi-join* on (band_idx, band_value) — a shuffled hash join whose
+    quadratic term is bounded by per-band bucket size — followed by an exact
+    ``bit_count(xor)`` verify.  Output is identical to the all-pairs join;
+    the O(n²) BroadcastNestedLoopJoin is gone (plan-asserted in
+    tests/test_plans.py)."""
+    s = simhash(docs, bits)
+    n_bands = max_hamming + 1
+    bounds = [round(j * bits / n_bands) for j in range(n_bands + 1)]
+    band_exprs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.shiftright(F.col("simhash"), bounds[j])
+            .bitwiseAND(F.lit((1 << (bounds[j + 1] - bounds[j])) - 1))
+            .alias("key"))
+        for j in range(n_bands)]
+    buckets = s.select("doc_id", "simhash",
+                       F.explode(F.array(*band_exprs)).alias("bk")) \
+               .select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"), "hamming"))
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("sim_a"),
+                    F.col("b.simhash").alias("sim_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

@@ -188,7 +188,7 @@ class PageDiffer:
         })
         if action == "CREATE":
             self.stats["num_datatype_metadata_creates"] += 1
-        if action == "DELETE":
+        elif action == "DELETE":
             self.stats["num_datatype_metadata_deletes"] += 1
         elif action == "UPDATE":
             self.stats["num_datatype_metadata_updates"] += 1

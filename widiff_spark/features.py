@@ -245,27 +245,53 @@ def backfill_entity_features(features_entity: DataFrame,
                             F.coalesce("_desc", F.lit("")))
                 .drop("_label", "_desc", f"_{side}_qid_k"))
 
-    closure_maps = {
-        rel: {r["entity_id"]: set(filter(None, (r["transitive_closure_qids"]
-                                                or "").split(",")))
-              for r in df.collect()}
-        for rel, df in closures.items()}
+    # closure membership as relational algebra (SURVEY J8): explode each
+    # relation's comma-joined closure to (entity, member) rows and flag the
+    # DISTINCT (old_qid, new_qid) pairs by semi-join — the closure dims
+    # (millions of rows at reference scale, feature_creation.py:1359-1466)
+    # never reach the driver, and the pair dim joined back is tiny relative
+    # to the fact table (AQE picks broadcast when it fits).
+    rel_cols = {
+        "subclass_transitive": ("old_value_subclass_new_value",
+                                "new_value_subclass_old_value"),
+        "located_in_transitive": ("old_value_located_in_new_value",
+                                  "new_value_located_in_old_value"),
+        "has_part_transitive": ("old_value_has_parts_new_value",
+                                "new_value_has_parts_old_value"),
+        "part_of_transitive": ("old_value_part_of_new_value",
+                               "new_value_part_of_old_value"),
+    }
+    pairs = todo.select("_old_qid", "_new_qid").distinct()
+    pair_flags = pairs
+    for rel, df in closures.items():
+        fwd, bwd = rel_cols[rel]
+        dim = (df.select(
+            F.col("entity_id").alias("_ent"),
+            F.explode(F.split(F.coalesce("transitive_closure_qids",
+                                         F.lit("")), ",")).alias("_member"))
+            .filter(F.col("_member") != ""))
+        fwd_hits = (pairs.join(
+            dim, (pairs["_old_qid"] == dim["_ent"])
+            & (pairs["_new_qid"] == dim["_member"]), "left_semi")
+            .withColumn(fwd, F.lit(1)))
+        bwd_hits = (pairs.join(
+            dim, (pairs["_new_qid"] == dim["_ent"])
+            & (pairs["_old_qid"] == dim["_member"]), "left_semi")
+            .withColumn(bwd, F.lit(1)))
+        pair_flags = (pair_flags
+                      .join(fwd_hits, ["_old_qid", "_new_qid"], "left")
+                      .join(bwd_hits, ["_old_qid", "_new_qid"], "left"))
+    for fwd, bwd in rel_cols.values():
+        pair_flags = pair_flags.withColumn(fwd, F.coalesce(fwd, F.lit(0))) \
+                               .withColumn(bwd, F.coalesce(bwd, F.lit(0)))
+    todo = todo.drop(*[c for fb in rel_cols.values() for c in fb]) \
+               .join(pair_flags, ["_old_qid", "_new_qid"], "left")
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in todo.schema.fields
         if not f.name.startswith("_"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rel_cols = {
-            "subclass_transitive": ("old_value_subclass_new_value",
-                                    "new_value_subclass_old_value"),
-            "located_in_transitive": ("old_value_located_in_new_value",
-                                      "new_value_located_in_old_value"),
-            "has_part_transitive": ("old_value_has_parts_new_value",
-                                    "new_value_has_parts_old_value"),
-            "part_of_transitive": ("old_value_part_of_new_value",
-                                   "new_value_part_of_old_value"),
-        }
         for pdf in batches:
             if len(pdf):
                 sims = [FL.text_features("entity", o, n) for o, n in
@@ -275,12 +301,6 @@ def backfill_entity_features(features_entity: DataFrame,
                     int((ol == nl) and (ov != nv)) for ol, nl, ov, nv in
                     zip(pdf["old_value_label"], pdf["new_value_label"],
                         pdf["_old_qid"], pdf["_new_qid"])]
-                for rel, (fwd, bwd) in rel_cols.items():
-                    cmap = closure_maps.get(rel, {})
-                    pdf[fwd] = [int(n in cmap.get(o, ())) for o, n in
-                                zip(pdf["_old_qid"], pdf["_new_qid"])]
-                    pdf[bwd] = [int(o in cmap.get(n, ())) for o, n in
-                                zip(pdf["_old_qid"], pdf["_new_qid"])]
                 old_lab = embed_texts(list(pdf["old_value_label"]))
                 new_lab = embed_texts(list(pdf["new_value_label"]))
                 pdf["label_cosine_similarity"] = _cosine(old_lab, new_lab)
