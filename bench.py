@@ -87,10 +87,24 @@ def main() -> None:
     timings["dedup_minhash_lsh"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    sh = dedup.shingles(docs_tbl)
+    cands = dedup.rare_shingle_candidates(sh, max_df=100)
+    dedup.jaccard_pairs(sh, min_jaccard=0.8, candidates=cands).count()
+    timings["dedup_ngram_jaccard"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dedup.simhash_near_duplicates(docs_tbl, max_hamming=1).count()
+    timings["dedup_simhash_pairs"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
     queries = emb.filter("vec_id < 20").selectExpr(
         "vec_id as query_id", "embedding")
     similarity.knn_bruteforce(emb, queries, k=10).count()
     timings["ann_knn_bruteforce"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    similarity.knn_lsh(emb, queries, dim=64, k=10, n_planes=4).count()
+    timings["ann_knn_lsh"] = round(time.time() - t0, 3)
 
     # -- relational suite over the big fact table --------------------------
     for name in ["rel_pricing_summary", "rel_broadcast_join",

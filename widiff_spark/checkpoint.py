@@ -123,7 +123,16 @@ def record(spark: SparkSession, path: str, docs: DataFrame,
     merged = (old.join(new.select("bucket"), "bucket", "left_anti")
               .unionByName(new.select(*[c.split(" ")[0] for c in
                                         _SCHEMA.split(", ")])))
-    # parquet has no in-place MERGE: stage + swap via a collected overwrite
-    merged_rows = merged.collect()
-    spark.createDataFrame(merged_rows, schema=_SCHEMA).coalesce(1) \
-        .write.mode("overwrite").parquet(f"{path}/{CHECKPOINT_TABLE}")
+    # parquet has no in-place MERGE (an Iceberg catalog would run MERGE INTO
+    # here): stage the merged table distributed, then swap directories via
+    # the Hadoop FileSystem API — no driver-side collect in the commit path,
+    # and the swap is portable to HDFS/S3A committers.
+    target_dir = f"{path}/{CHECKPOINT_TABLE}"
+    staging_dir = f"{target_dir}__staging"
+    merged.coalesce(1).write.mode("overwrite").parquet(staging_dir)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(target_dir).getFileSystem(hconf)
+    fs.delete(HPath(target_dir), True)
+    fs.rename(HPath(staging_dir), HPath(target_dir))

@@ -175,18 +175,56 @@ try:  # pragma: no cover - the heavy path only exists on GPU clusters
 except ImportError:
     _HAS_ST = False
 
+_ST_MODEL = None
 
-def embed_texts(texts: list[str], dim: int = 16) -> np.ndarray:
+
+def _use_st() -> bool:
+    """Feature flag for the real embedding model.
+
+    ``WIDIFF_EMBEDDINGS=stub`` forces the deterministic stub (reproducible
+    CI), ``=st`` forces the real model (raises if the package is missing —
+    a misconfigured cluster should fail loudly, not silently degrade), and
+    the default ``auto`` uses the model iff the package is installed."""
+    import os
+    mode = os.environ.get("WIDIFF_EMBEDDINGS", "auto")
+    if mode == "stub":
+        return False
+    if mode == "st":
+        return True
+    return _HAS_ST
+
+
+def _st_model():
+    """One model per worker process, lazily (the reference loads it once per
+    run, feature_creation.py:29-121; per-batch construction would dominate)."""
+    global _ST_MODEL
+    if _ST_MODEL is None:
+        from sentence_transformers import SentenceTransformer as _ST
+        _ST_MODEL = _ST("all-MiniLM-L6-v2")
+    return _ST_MODEL
+
+
+def embed_texts(texts: list[str], dim: int = 16,
+                use_st: bool | None = None) -> np.ndarray:
     """Batch text embedding.
 
     Real path: ``SentenceTransformer('all-MiniLM-L6-v2').encode`` (reference
     feature_creation.py:1248).  STUB path (this container): deterministic
     sha256 projection to a unit vector — keeps batch shape/normalization
-    semantics identical so the Spark plumbing is fully exercised.
+    semantics identical so the Spark plumbing is fully exercised.  Both
+    paths honor one contract (tests/test_embedding_contract.py): float
+    ndarray of shape (len(texts), d), NaN-free, deterministic per text.
+
+    ``use_st``: the caller's resolved flag.  The backfill stages resolve it
+    ON THE DRIVER (``_use_st()``) and close over the decision — executor
+    processes never see the driver's environment, so reading the env var
+    here would silently degrade a forced ``WIDIFF_EMBEDDINGS=st`` to the
+    stub on every worker (verified live).
     """
-    if _HAS_ST:  # pragma: no cover
-        model = SentenceTransformer("all-MiniLM-L6-v2")
-        return np.asarray(model.encode(list(texts)))
+    if use_st is None:
+        use_st = _use_st()
+    if use_st:  # pragma: no cover - exercised via the contract-test fake
+        return np.asarray(_st_model().encode(list(texts)), dtype=np.float64)
     out = np.zeros((len(texts), dim), dtype=np.float64)
     for i, t in enumerate(texts):
         digest = hashlib.sha256(str(t).encode("utf-8")).digest()
@@ -290,6 +328,7 @@ def backfill_entity_features(features_entity: DataFrame,
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in todo.schema.fields
         if not f.name.startswith("_"))
+    use_st = _use_st()  # resolved on the driver; workers inherit the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -301,11 +340,15 @@ def backfill_entity_features(features_entity: DataFrame,
                     int((ol == nl) and (ov != nv)) for ol, nl, ov, nv in
                     zip(pdf["old_value_label"], pdf["new_value_label"],
                         pdf["_old_qid"], pdf["_new_qid"])]
-                old_lab = embed_texts(list(pdf["old_value_label"]))
-                new_lab = embed_texts(list(pdf["new_value_label"]))
+                old_lab = embed_texts(list(pdf["old_value_label"]),
+                                      use_st=use_st)
+                new_lab = embed_texts(list(pdf["new_value_label"]),
+                                      use_st=use_st)
                 pdf["label_cosine_similarity"] = _cosine(old_lab, new_lab)
-                old_d = embed_texts(list(pdf["old_value_description"]))
-                new_d = embed_texts(list(pdf["new_value_description"]))
+                old_d = embed_texts(list(pdf["old_value_description"]),
+                                    use_st=use_st)
+                new_d = embed_texts(list(pdf["new_value_description"]),
+                                    use_st=use_st)
                 pdf["description_cosine_similarity"] = _cosine(old_d, new_d)
                 pdf["processed"] = True
             yield pdf[[c for c in pdf.columns if not c.startswith("_")]]
@@ -321,14 +364,15 @@ def backfill_text_features(features_text: DataFrame) -> DataFrame:
     done = features_text.filter(F.col("processed"))
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in todo.schema.fields)
+    use_st = _use_st()  # resolved on the driver; workers inherit the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
                 old = embed_texts([str(v).replace('"', "")
-                                   for v in pdf["old_value"]])
+                                   for v in pdf["old_value"]], use_st=use_st)
                 new = embed_texts([str(v).replace('"', "")
-                                   for v in pdf["new_value"]])
+                                   for v in pdf["new_value"]], use_st=use_st)
                 pdf["value_cosine_similarity"] = _cosine(old, new)
                 pdf["processed"] = True
             yield pdf
