@@ -341,6 +341,25 @@ def build_golden(sf_dir: str,
     out["kg_quarantine"] = q[["repo", "path", "commit", "revision_id",
                               "error"]].reset_index(drop=True)
 
+    # streaming day-window ingest rates (kg_stream_rates): every corpus row
+    # with a parseable meta.timestamp counts, tumbling 1-day windows
+    import json as _json
+    win_rows: dict[tuple, int] = {}
+    for repo, content in zip(corpus["repo"], corpus["content"]):
+        try:
+            ts = _json.loads(content)["meta"]["timestamp"]
+            day = datetime.strptime(ts, "%Y-%m-%dT%H:%M:%SZ") \
+                .strftime("%Y-%m-%d")
+        except Exception:
+            continue
+        win_rows[(day, repo)] = win_rows.get((day, repo), 0) + 1
+    out["kg_stream_rates"] = pd.DataFrame(
+        [{"window_start": f"{d} 00:00:00",
+          "window_end": (datetime.strptime(d, "%Y-%m-%d")
+                         + pd.Timedelta(days=1)).strftime("%Y-%m-%d %H:%M:%S"),
+          "repo": r, "n_revisions": n}
+         for (d, r), n in sorted(win_rows.items())])
+
     out["kg_property_stats"] = property_stats_pdf(vc)
     out["kg_cohort_rollup"] = cohort_rollup_pdf(stats)
     out["kg_entity_type_stats"] = entity_type_stats_pdf(stats,
