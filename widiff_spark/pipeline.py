@@ -75,7 +75,12 @@ def run_pipeline(spark: SparkSession, docs: DataFrame,
                  property_labels: DataFrame | None = None,
                  astronomical: DataFrame | None = None,
                  scholarly: DataFrame | None = None,
-                 persist: bool = True) -> PipelineResult:
+                 persist: bool = True,
+                 mode: str = "grouped") -> PipelineResult:
+    """``mode='grouped'`` (default): per-page applyInPandas replay — minimal
+    shuffle, right for balanced corpora.  ``mode='salted'``: pair-parallel
+    diff (salted.py) — immune to hot-page skew, one extra window shuffle;
+    row-identical output (tests/test_salted_parity.py)."""
     from . import fixtures
 
     property_labels = property_labels or fixtures.property_labels_df(spark)
@@ -85,7 +90,11 @@ def run_pipeline(spark: SparkSession, docs: DataFrame,
         else fixtures.cohort_types_df(spark, "scholarly")
 
     parsed = parse.parse_documents(docs)
-    unified = diff.extract_changes(parsed, config)
+    if mode == "salted":
+        from . import salted
+        unified = salted.extract_changes_salted(parsed, config)
+    else:
+        unified = diff.extract_changes(parsed, config)
     if persist:
         unified = unified.persist(StorageLevel.MEMORY_AND_DISK)
 

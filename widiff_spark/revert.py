@@ -118,6 +118,14 @@ def tag_reverted_edits(changes_by_pv: dict, value_changes: list,
 
             next_changes = pv_changes[i + 1:]
             for j, future in enumerate(next_changes):
+                # futures are timestamp-sorted and every revert pattern in
+                # check_revert requires diff_ts <= threshold, so nothing
+                # beyond the window can match — break, don't scan on.  This
+                # bounds the per-history scan to the 4-week window (the
+                # unbounded scan is O(n²) on 10k+-change hot histories);
+                # semantics identical (the skipped pairs all return 0).
+                if _epoch(future) - _epoch(current) > time_threshold:
+                    break
                 future_key = (future["revision_id"], property_id, value_id,
                               future["change_target"])
                 if (future_key in reversion_keys
