@@ -46,7 +46,14 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, width: int = DEFAULT_SHINGLE) -> DataFrame:
-    """Distinct word shingles per doc (posexplode + slide, JVM-side)."""
+    """Distinct word shingles per doc (posexplode + slide, JVM-side).
+
+    Small inputs (one parquet file -> one scan partition) are spread over
+    the cluster first; a 100 TB scan already has enough partitions and
+    skips the repartition."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     toks = F.split(_norm_text(F.col("text")), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - width, F.lit(0)))
@@ -99,21 +106,26 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0,
     scale the unrestricted self-join is the quadratic trap."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if candidates is not None:
-        sh_a = sh.join(candidates.select(F.col("doc_a").alias("doc_id"))
-                       .distinct(), "doc_id", "left_semi")
-        sh_b = sh.join(candidates.select(F.col("doc_b").alias("doc_id"))
-                       .distinct(), "doc_id", "left_semi")
+        # pair-driven intersection: expand each candidate pair by doc_a's
+        # shingles, keep the ones doc_b also has.  Cost is
+        # |candidates| x avg-shingles — independent of shingle document
+        # frequency, so a hot shingle ("the end of") cannot re-introduce
+        # the quadratic the candidate set was built to avoid.
+        expanded = candidates.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        inter = (expanded.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"], "left_semi")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_common")))
     else:
-        sh_a = sh_b = sh
-    a = sh_a.alias("a")
-    b = sh_b.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("n_common")))
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .groupBy(F.col("a.doc_id").alias("doc_a"),
+                          F.col("b.doc_id").alias("doc_b"))
+                 .agg(F.count("*").alias("n_common")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
     return (inter.join(sa, "doc_a").join(sb, "doc_b")
@@ -147,8 +159,9 @@ def minhash_near_duplicates(docs: DataFrame, min_jaccard: float = 0.5,
                             k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
                             width: int = DEFAULT_SHINGLE) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from band buckets,
-    verified by exact Jaccard."""
-    sh = shingles(docs, width)
+    verified by exact Jaccard.  The shingle table feeds both the signature
+    and the verify paths — persist it so the explode runs once."""
+    sh = shingles(docs, width).persist()
     cands = lsh_candidates(minhash_signature(sh, k), k, bands)
     return jaccard_pairs(sh, min_jaccard, candidates=cands)
 
