@@ -77,6 +77,9 @@ def main() -> None:
     timings["kg_features"] = round(time.time() - t0, 3)
     res.unpersist()
     shutil.rmtree(workdir, ignore_errors=True)
+    # the KG stage's cached blocks otherwise squeeze the dedup stages'
+    # shingle persist out of memory (measured 5x on these stages)
+    spark.catalog.clearCache()
 
     # -- training-data ops -------------------------------------------------
     docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
