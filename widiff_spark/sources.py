@@ -99,6 +99,61 @@ def parse_dump_bytes(repo: str, raw: bytes) -> Iterator[dict]:
         elem.clear()
 
 
+def write_corpus_as_dumps(corpus: pd.DataFrame, out_dir: str,
+                          compress: bool = True) -> list[str]:
+    """Inverse of :func:`parse_dump_bytes` for harness round-trips: render a
+    documents corpus as MediaWiki ``pages-meta-history`` XML (one file per
+    ``repo`` shard, bz2 like the real dumps).  Revision metadata moves back
+    into XML elements; the ``<text>`` payload is the content with ``meta``
+    stripped (undecodable content passes through raw, exactly what the
+    reader expects to re-quarantine).  Test-harness scale: builds files on
+    the driver from a collected corpus."""
+    import os
+    import xml.sax.saxutils as SX
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    corpus = corpus.sort_values(["repo", "path", "commit"], kind="mergesort")
+    for repo, g in corpus.groupby("repo", sort=True):
+        parts = [f'<mediawiki xmlns="{MEDIAWIKI_NS}">']
+        for title, page in g.groupby("path", sort=True):
+            parts.append(f"<page><title>{SX.escape(str(title))}</title>")
+            for rec in page.to_dict("records"):
+                try:
+                    doc = json.loads(rec["content"])
+                    meta = doc.pop("meta", {}) or {}
+                except (json.JSONDecodeError, AttributeError):
+                    doc, meta = None, {}
+                rid = meta.get("revision_id") or 0
+                parent = meta.get("parent_id")
+                parts.append(f"<revision><id>{rid}</id>")
+                if parent is not None:
+                    parts.append(f"<parentid>{parent}</parentid>")
+                parts.append(
+                    f"<timestamp>{SX.escape(str(meta.get('timestamp') or ''))}"
+                    f"</timestamp><contributor>"
+                    f"<username>{SX.escape(str(meta.get('username') or ''))}"
+                    f"</username><id>{SX.escape(str(meta.get('user_id') or ''))}"
+                    f"</id></contributor>"
+                    f"<comment>{SX.escape(str(meta.get('comment') or ''))}"
+                    f"</comment>")
+                if rec["lang"] == "deleted":
+                    parts.append('<text deleted="deleted" /></revision>')
+                    continue
+                payload = (json.dumps(doc, ensure_ascii=False)
+                           if doc is not None else rec["content"])
+                parts.append(f"<text>{SX.escape(payload)}</text></revision>")
+            parts.append("</page>")
+        parts.append("</mediawiki>")
+        blob = "".join(parts).encode("utf-8")
+        path = os.path.join(out_dir,
+                            f"{repo}.xml.bz2" if compress else f"{repo}.xml")
+        with open(path, "wb") as f:
+            f.write(bz2.compress(blob) if compress else blob)
+        paths.append(path)
+    return paths
+
+
 def read_mediawiki_dump(spark: SparkSession, path_glob: str) -> DataFrame:
     """``*.xml`` / ``*.xml.bz2`` dump files -> documents DataFrame."""
     files = spark.read.format("binaryFile").load(path_glob) \
