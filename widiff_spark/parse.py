@@ -192,7 +192,11 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "comment": meta.get("comment") or "",
                 "is_deleted": lang == "deleted",
                 "parse_ok": digest is not None,
-                "snapshot": json.dumps(digest, ensure_ascii=False)
+                # compact separators: the digest is an internal transport
+                # format (decoded in diff/salted, never hashed) — ~12% fewer
+                # bytes through the page shuffle
+                "snapshot": json.dumps(digest, ensure_ascii=False,
+                                       separators=(",", ":"))
                             if digest is not None else None,
                 "error": error,
             })
