@@ -90,9 +90,7 @@ def main() -> None:
     timings["dedup_minhash_lsh"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    sh = dedup.shingles(docs_tbl)
-    cands = dedup.rare_shingle_candidates(sh, max_df=100)
-    dedup.jaccard_pairs(sh, min_jaccard=0.8, candidates=cands).count()
+    dedup.minhash_near_duplicates(docs_tbl, min_jaccard=0.8).count()
     timings["dedup_ngram_jaccard"] = round(time.time() - t0, 3)
 
     t0 = time.time()
