@@ -64,6 +64,99 @@ def test_derived_corpus_parity(spark):
     _assert_identical(spark, docs)
 
 
+def _adversarial_corpus_rows(n_pages: int = 120, seed: int = 7) -> list[dict]:
+    """Randomized page histories aimed at the keep-decision edge cases:
+    identical consecutive snapshots, redirect/cleaned runs (incl. as first
+    revision), alias-only and deleted revisions, broken JSON, time-noise-only
+    updates (hash changes, zero emitted rows — keep still advances), rank
+    flips, qualifier/reference churn, restore-comment revert chains."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for p in range(n_pages):
+        path = f"Q{80000 + p}"
+        n = rng.randint(1, 8)
+        rid0 = 700000 + p * 100
+        prev_kind = None
+        for i in range(n):
+            rid = rid0 + i
+            ts = fixtures._ts(i, p % 24)
+            kind = rng.choice(
+                ["normal", "normal", "normal", "same", "time_noise",
+                 "redirect", "cleaned", "alias_only", "deleted", "broken",
+                 "rank_flip", "qual_churn"])
+            comment = rng.choice(["", "restore old value", "Undid revision",
+                                  "rollback vandalism", "edit"])
+            username = rng.choice(["A", "SomeBot", ""])
+            if kind == "deleted":
+                rows.append(fixtures.row(path, rid, json.dumps(
+                    {"meta": {"revision_id": rid, "parent_id": rid - 1,
+                              "timestamp": ts}}), lang="deleted"))
+                continue
+            if kind == "broken":
+                rows.append(fixtures.row(path, rid, "{not json" + str(rid)))
+                continue
+            if kind == "redirect":
+                rows.append(fixtures.row(path, rid, fixtures.content(
+                    rid, ts, redirect="Q42", entity=path, username=username,
+                    comment=comment)))
+                prev_kind = kind
+                continue
+            if kind == "cleaned":
+                rows.append(fixtures.row(path, rid, fixtures.content(
+                    rid, ts, username=username, comment=comment)))
+                prev_kind = kind
+                continue
+            if kind == "alias_only":
+                rows.append(fixtures.row(path, rid, fixtures.content(
+                    rid, ts, aliases=[f"alias {rng.randint(0, 3)}"],
+                    username=username, comment=comment)))
+                continue
+            if kind == "same" and prev_kind == "normal":
+                rows.append(rows[-1] | {  # identical snapshot, new commit
+                    "commit": f"r{rid:010d}"})
+                continue
+            # normal-ish snapshot
+            pad = "+0000" if kind == "time_noise" and i % 2 else "+"
+            claims = {
+                "P31": [fixtures.statement(
+                    f"p{p}$S1", fixtures.entity_snak(
+                        "P31", rng.choice(["Q5", "Q523", "Q42"])))],
+                "P1082": [fixtures.statement(
+                    f"p{p}$S2",
+                    fixtures.quantity_snak("P1082",
+                                           f"+{rng.randint(1, 3)}"),
+                    rank="preferred" if kind == "rank_flip" else "normal",
+                    qualifiers=({"P580": [fixtures.time_snak(
+                        "P580", "+2001-01-01T00:00:00Z")]}
+                        if kind == "qual_churn" else None),
+                    references=([fixtures.reference(
+                        {"P143": [fixtures.entity_snak("P143", "Q328")]})]
+                        if rng.random() < 0.3 else None))],
+                "P569": [fixtures.statement(
+                    f"p{p}$S3", fixtures.time_snak(
+                        "P569", f"{pad}2013-10-28T00:00:00Z"))],
+            }
+            if rng.random() < 0.3:
+                del claims["P1082"]
+            rows.append(fixtures.row(path, rid, fixtures.content(
+                rid, ts, label=rng.choice([f"page {p}", f"page {p}", "x"]),
+                claims=claims, username=username, comment=comment)))
+            prev_kind = "normal"
+    return rows
+
+
+def test_adversarial_random_corpus_parity(spark):
+    """120 randomized histories over every keep-decision branch: salted and
+    grouped must stay row-identical."""
+    import pandas as _pd
+
+    docs = spark.createDataFrame(_pd.DataFrame(_adversarial_corpus_rows()),
+                                 schema=fixtures.DOCUMENTS_SCHEMA)
+    _assert_identical(spark, docs)
+
+
 def test_keep_decision_matches_changed_flag(spark):
     """The projection-equality keep rule equals the reference's ``changed``:
     pages whose consecutive snapshots are byte-identical produce exactly one

@@ -137,16 +137,24 @@ def annotate_parsed(parsed: DataFrame) -> DataFrame:
 
 
 def kept_pairs(annotated: DataFrame) -> DataFrame:
-    """Candidate filter + keep decision + (prev, curr) pairing windows."""
+    """Candidate filter + keep decision + (prev, curr) pairing windows.
+
+    The page's FIRST parse-ok revision takes the created-entity path before
+    any branch dispatch (page_parser.py:1890-1893) — it is kept and becomes
+    the predecessor even if alias/sitelink-only; only NON-first alias-only
+    revisions are skipped (and they never advance the predecessor, so they
+    leave the comparison chain entirely)."""
     page = ["repo", "path"]
-    cand = annotated.filter(F.col("parse_ok") & (~F.col("is_deleted"))
-                            & (~F.col("is_alias_only")))
+    cand0 = annotated.filter(F.col("parse_ok") & (~F.col("is_deleted")))
+    w0 = Window.partitionBy(*page).orderBy("commit")
+    cand0 = cand0.withColumn("__rn", F.row_number().over(w0))
+    chain = cand0.filter((F.col("__rn") == 1) | (~F.col("is_alias_only")))
     w_cand = Window.partitionBy(*page).orderBy("commit")
-    cand = cand.withColumn("__prev_key", F.lag("state_key").over(w_cand)) \
-               .withColumn("__first", F.row_number().over(w_cand) == 1)
-    kept = cand.filter(F.col("__first") | F.col("is_redirect")
-                       | F.col("is_cleaned")
-                       | (F.col("state_key") != F.col("__prev_key")))
+    chain = chain.withColumn("__prev_key", F.lag("state_key").over(w_cand)) \
+                 .withColumn("__first", F.row_number().over(w_cand) == 1)
+    kept = chain.filter(F.col("__first") | F.col("is_redirect")
+                        | F.col("is_cleaned")
+                        | (F.col("state_key") != F.col("__prev_key")))
     w_kept = Window.partitionBy(*page).orderBy("commit")
     return (kept
             .withColumn("prev_snapshot", F.lag("snapshot").over(w_kept))
@@ -154,7 +162,7 @@ def kept_pairs(annotated: DataFrame) -> DataFrame:
                         F.coalesce(F.lag("revision_id").over(w_kept),
                                    F.lit(-1)))
             .withColumn("is_first", F.lag("revision_id").over(w_kept).isNull())
-            .drop("__prev_key", "__first"))
+            .drop("__prev_key", "__first", "__rn"))
 
 
 class _PairEmitter(PageDiffer):
