@@ -142,8 +142,11 @@ def rare_shingle_candidates(sh: DataFrame, max_df: int = 100) -> DataFrame:
     frequency <= max_df).  The DF cap bounds the self-join's per-shingle
     group to max_df² — hot shingles ("the end of") stop generating quadratic
     candidate storms; a true near-dup pair (jaccard >= 0.8) shares many
-    shingles, so at any realistic corpus it shares a rare one.  The cap is a
-    recall/latency dial, mirrored exactly by the DuckDB oracle."""
+    shingles, so at any realistic corpus it shares a rare one.  The cap is
+    a recall/latency dial.  NOTE: on densely near-duplicate corpora the
+    rare-shingle pair set is itself quadratic (measured 1.13M pairs from 5k
+    docs); the driver's ngram query therefore uses MinHash band buckets for
+    candidates and keeps this as the exact-recall alternative."""
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(df_counts.filter(F.col("df") <= max_df).select("shingle"),
                    "shingle", "left_semi")
