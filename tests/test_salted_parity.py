@@ -117,32 +117,62 @@ def _adversarial_corpus_rows(n_pages: int = 120, seed: int = 7) -> list[dict]:
                 rows.append(rows[-1] | {  # identical snapshot, new commit
                     "commit": f"r{rid:010d}"})
                 continue
-            # normal-ish snapshot
+            # normal-ish snapshot with deep structural variety
             pad = "+0000" if kind == "time_noise" and i % 2 else "+"
+            quals = None
+            if kind == "qual_churn" or rng.random() < 0.25:
+                quals = {"P580": [fixtures.time_snak(
+                    "P580", f"+200{rng.randint(0, 2)}-01-01T00:00:00Z")]}
+                if rng.random() < 0.4:  # multi-snak qualifier pid
+                    quals["P580"].append(fixtures.time_snak(
+                        "P580", "+1999-01-01T00:00:00Z"))
+                    quals["P1545"] = [fixtures.string_snak(
+                        "P1545", str(rng.randint(1, 2)))]
+            refs = None
+            if rng.random() < 0.35:
+                refs = [fixtures.reference(
+                    {"P143": [fixtures.entity_snak("P143", "Q328")]})]
+                if rng.random() < 0.4:  # second reference group
+                    refs.append(fixtures.reference(
+                        {"P854": [fixtures.string_snak(
+                            "P854", f"https://x.org/{rng.randint(0, 2)}")]}))
+            mainsnak = rng.choice([
+                lambda: fixtures.quantity_snak(
+                    "P1082", f"+{rng.randint(1, 3)}"),
+                lambda: fixtures.quantity_snak(
+                    "P1082", f"+{rng.randint(1, 3)}"),
+                lambda: fixtures.sentinel_snak(
+                    "P1082", rng.choice(["novalue", "somevalue"]),
+                    f"h-{rng.randint(0, 2)}"),
+            ])()
             claims = {
                 "P31": [fixtures.statement(
                     f"p{p}$S1", fixtures.entity_snak(
-                        "P31", rng.choice(["Q5", "Q523", "Q42"])))],
+                        "P31", rng.choice(["Q5", "Q523", "Q42"]),
+                        include_id=rng.random() < 0.8))],
                 "P1082": [fixtures.statement(
-                    f"p{p}$S2",
-                    fixtures.quantity_snak("P1082",
-                                           f"+{rng.randint(1, 3)}"),
+                    f"p{p}$S2", mainsnak,
                     rank="preferred" if kind == "rank_flip" else "normal",
-                    qualifiers=({"P580": [fixtures.time_snak(
-                        "P580", "+2001-01-01T00:00:00Z")]}
-                        if kind == "qual_churn" else None),
-                    references=([fixtures.reference(
-                        {"P143": [fixtures.entity_snak("P143", "Q328")]})]
-                        if rng.random() < 0.3 else None))],
+                    qualifiers=quals, references=refs)],
                 "P569": [fixtures.statement(
                     f"p{p}$S3", fixtures.time_snak(
                         "P569", f"{pad}2013-10-28T00:00:00Z"))],
             }
+            if rng.random() < 0.15:  # duplicate statement id (last wins)
+                claims["P1082"].append(fixtures.statement(
+                    f"p{p}$S2",
+                    fixtures.quantity_snak("P1082", f"+{rng.randint(7, 9)}")))
+            if rng.random() < 0.2:  # second statement on the same pid
+                claims["P31"].append(fixtures.statement(
+                    f"p{p}$S4", fixtures.entity_snak("P31", "Q318")))
             if rng.random() < 0.3:
                 del claims["P1082"]
-            rows.append(fixtures.row(path, rid, fixtures.content(
+            body = fixtures.content(
                 rid, ts, label=rng.choice([f"page {p}", f"page {p}", "x"]),
-                claims=claims, username=username, comment=comment)))
+                claims=claims, username=username, comment=comment)
+            if rng.random() < 0.1:  # HTML-escaped payload (case 18 recovery)
+                body = body.replace('"', "&quot;")
+            rows.append(fixtures.row(path, rid, body))
             prev_kind = "normal"
     return rows
 

@@ -422,9 +422,18 @@ def extract_changes_salted(parsed: DataFrame,
                 "num_reverted_edits_create", "num_reverted_edits_delete",
                 "num_reverted_edits_update")])
 
+    # the grouped replay PK-dedups value rows last-emission-wins
+    # (revert.tag_reverted_edits dict_lookup) — duplicate statement ids make
+    # the created/new-pid/removed-pid paths emit the same PK twice; flags
+    # are keyed by PK so deduping after the join is equivalent.  Entity
+    # stats stay PRE-dedup (the reference counts at save_change time).
+    pk = ["revision_id", "property_id", "value_id", "change_target"]
+    w_pk = Window.partitionBy(*pk).orderBy(F.desc("commit"),
+                                           F.desc("emit_idx"))
     value_tagged = (value_rows
-                    .join(flags, ["revision_id", "property_id", "value_id",
-                                  "change_target"], "left")
+                    .withColumn("__pkr", F.row_number().over(w_pk))
+                    .filter(F.col("__pkr") == 1).drop("__pkr")
+                    .join(flags, pk, "left")
                     .withColumn("is_reverted", F.coalesce("__ir", F.lit(0)))
                     .withColumn("reversion", F.coalesce("__rv", F.lit(0)))
                     .withColumn("reversion_timestamp", F.col("__rts"))
