@@ -48,7 +48,12 @@ def read_checkpoints(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.parquet(f"{path}/{CHECKPOINT_TABLE}")
     except Exception:
-        return spark.createDataFrame([], schema=_SCHEMA)
+        # crash-recovery: record() parks the live table at __old during its
+        # swap; if the process died mid-swap the backup is the ledger.
+        try:
+            return spark.read.parquet(f"{path}/{CHECKPOINT_TABLE}__old")
+        except Exception:
+            return spark.createDataFrame([], schema=_SCHEMA)
 
 
 def input_watermarks(docs: DataFrame,
@@ -129,10 +134,24 @@ def record(spark: SparkSession, path: str, docs: DataFrame,
     # and the swap is portable to HDFS/S3A committers.
     target_dir = f"{path}/{CHECKPOINT_TABLE}"
     staging_dir = f"{target_dir}__staging"
+    backup_dir = f"{target_dir}__old"
     merged.coalesce(1).write.mode("overwrite").parquet(staging_dir)
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     HPath = jvm.org.apache.hadoop.fs.Path
     fs = HPath(target_dir).getFileSystem(hconf)
-    fs.delete(HPath(target_dir), True)
-    fs.rename(HPath(staging_dir), HPath(target_dir))
+    # swap order chosen so the ledger is never absent without a recoverable
+    # copy: park the live table at __old, promote staging, then drop __old.
+    # Every FileSystem call's boolean is checked — a silent false here would
+    # otherwise surface later as a full reprocess with no error.
+    fs.delete(HPath(backup_dir), True)  # stale backup from a prior crash
+    if fs.exists(HPath(target_dir)):
+        if not fs.rename(HPath(target_dir), HPath(backup_dir)):
+            raise IOError(f"checkpoint swap: rename {target_dir} -> "
+                          f"{backup_dir} failed")
+    if not fs.rename(HPath(staging_dir), HPath(target_dir)):
+        # restore the previous ledger so readers still see a table
+        fs.rename(HPath(backup_dir), HPath(target_dir))
+        raise IOError(f"checkpoint swap: rename {staging_dir} -> "
+                      f"{target_dir} failed")
+    fs.delete(HPath(backup_dir), True)

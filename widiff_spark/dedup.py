@@ -163,10 +163,17 @@ def minhash_near_duplicates(docs: DataFrame, min_jaccard: float = 0.5,
                             width: int = DEFAULT_SHINGLE) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from band buckets,
     verified by exact Jaccard.  The shingle table feeds both the signature
-    and the verify paths — persist it so the explode runs once."""
+    and the verify paths — persist it so the explode runs once, then
+    materialize the (small) pair result eagerly so the cached shingle blocks
+    can be released before returning (the leak otherwise accumulates per
+    call for the whole session; bench.py once had to clearCache around it)."""
     sh = shingles(docs, width).persist()
-    cands = lsh_candidates(minhash_signature(sh, k), k, bands)
-    return jaccard_pairs(sh, min_jaccard, candidates=cands)
+    try:
+        cands = lsh_candidates(minhash_signature(sh, k), k, bands)
+        return jaccard_pairs(sh, min_jaccard, candidates=cands) \
+            .localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:

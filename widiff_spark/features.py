@@ -301,8 +301,15 @@ def backfill_entity_features(features_entity: DataFrame,
     }
     pairs = todo.select("_old_qid", "_new_qid").distinct()
     pair_flags = pairs
-    for rel, df in closures.items():
-        fwd, bwd = rel_cols[rel]
+    # iterate the expected relations, not the caller's dict: a partial
+    # closures dict default-0s the missing relations (parity with the
+    # pre-rewrite cmap.get behavior) and unknown keys are ignored.
+    for rel, (fwd, bwd) in rel_cols.items():
+        df = closures.get(rel)
+        if df is None:
+            pair_flags = (pair_flags.withColumn(fwd, F.lit(0))
+                                    .withColumn(bwd, F.lit(0)))
+            continue
         dim = (df.select(
             F.col("entity_id").alias("_ent"),
             F.explode(F.split(F.coalesce("transitive_closure_qids",
