@@ -1,16 +1,25 @@
 """Pure-pandas oracle for the KG pipeline queries (the driver correctness
 gate for everything the grouped-map diff feeds).
 
-The Spark engine and this oracle share only the *per-row kernels* — the
-revision digest (parse.digest_revision), the per-page replay (diff.PageDiffer)
-and the pure feature batteries (featurelib) — because those define the
-reference semantics (page_parser.py:1350-1953, feature_creation.py:936-1132)
-and are independently pinned by the golden fixture tests in
-tests/test_diff_golden.py.  Everything Spark actually *executes differently*
-— the page-bucket shuffle, Arrow batching, the broadcast label joins, the
-JVM-side week/year buckets, the cohort semi-joins, the stats explode, the
-analysis aggregations — is re-implemented here as straight-line pandas, so a
-Spark-side planning/packing bug shows up as a driver-oracle mismatch.
+Kernel independence: the decode -> per-page replay -> revert tagging that
+produces the change tables here comes from the **cleanroom package**
+(``cleanroom/replay.py``) — a second implementation of the reference
+semantics (page_parser.py:1350-2326, feature_creation.py:877-1132) written
+from the reference sources and sharing zero code with the engine's
+``parse``/``diff``/``revert`` modules.  ``tests/test_cleanroom.py``
+differential-fuzzes the two implementations against each other (scripted
+edge corpus, sf0.001 derived corpus, randomized adversarial histories,
+hypothesis edit scripts); a bug in an engine kernel therefore surfaces as a
+driver-oracle mismatch instead of cancelling out.  The remaining shared
+surface is the pure per-row feature batteries (featurelib; pinned by
+hand-derived expectations in tests) and the corpus *generator* (fixtures —
+the input, not the oracle).
+
+Everything Spark actually *executes differently* — the page-bucket shuffle,
+Arrow batching, the broadcast label joins, the JVM-side week/year buckets,
+the cohort semi-joins, the stats explode, the analysis aggregations — is
+re-implemented here as straight-line pandas, so a Spark-side
+planning/packing bug also shows up as a driver-oracle mismatch.
 
 ``build_golden(sf_dir)`` returns one pandas DataFrame per kg_* query,
 column-for-column identical to the Spark query output;
@@ -25,7 +34,9 @@ from datetime import datetime
 import numpy as np
 import pandas as pd
 
-from . import diff, featurelib as FL, fixtures, parse
+from cleanroom import replay_corpus
+
+from . import featurelib as FL, fixtures
 from .canonical import WD_ENTITY_TYPES, WD_STRING_TYPES
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .features import (ENTITY_CLOSURE_COLS, ENTITY_SIM_COLS, GLOBE_FEATURE_COLS,
@@ -53,40 +64,24 @@ def corpus_pdf(sf_dir: str) -> pd.DataFrame:
                      ignore_index=True)
 
 
-def parsed_pdf(corpus: pd.DataFrame) -> pd.DataFrame:
-    """Namespace filter + per-revision digest (mirrors parse.parse_documents)."""
-    keep = corpus[corpus["path"].str.match(r"^Q\d+$")].reset_index(drop=True)
-    return pd.concat(list(parse._parse_batches(iter([keep]))),
-                     ignore_index=True)
-
-
-def diff_tables(parsed: pd.DataFrame,
+def diff_tables(corpus: pd.DataFrame,
                 config: PipelineConfig = DEFAULT_CONFIG) -> dict:
-    """Replay every page sequentially (no bucketing, no Arrow) and assemble
-    the five change tables + entity_stats as plain pandas."""
-    acc: dict[str, list[dict]] = {t: [] for t in (
+    """Cleanroom replay of the corpus: namespace filter, per-page diff,
+    revert tagging — zero engine code (see module docstring).  Returns the
+    five change tables + entity_stats + quarantine as plain pandas."""
+    clean = replay_corpus(
+        corpus.to_dict("records"),
+        re_interpretation=config.re_interpretation,
+        extract_datatype_metadata=config.extract_datatype_metadata,
+        time_threshold=config.time_threshold_seconds)
+    tables = {t: pd.DataFrame(clean[t]) for t in (
         "revision", "value_change", "qualifier_change", "reference_change",
         "datatype_metadata_change")}
-    stats_rows: list[dict] = []
-
-    parsed = parsed.sort_values(["repo", "path", "commit"], kind="mergesort")
-    for (repo, _path), g in parsed.groupby(["repo", "path"], sort=True):
-        records = diff._prep_revisions(g.to_dict("records"))
-        differ = diff.PageDiffer(repo, int(g["entity_id"].iloc[0]), config)
-        result = differ.process_page(records)
-        entity_label = result["entity_label"]
-        for table in acc:
-            for row in result[table]:
-                out = {k: v for k, v in row.items() if k != "_key"}
-                out["repo"] = repo
-                out["entity_label"] = entity_label
-                acc[table].append(out)
-        st = dict(result["entity_stats"])
-        st["repo"] = repo
-        stats_rows.append(st)
-
-    tables = {t: pd.DataFrame(rows) for t, rows in acc.items()}
-    tables["entity_stats"] = pd.DataFrame(stats_rows)
+    tables["entity_stats"] = pd.DataFrame(clean["entity_stats"])
+    tables["quarantine"] = pd.DataFrame(
+        clean["quarantine"],
+        columns=["repo", "path", "commit", "revision_id", "error"]) \
+        .astype({"revision_id": "Int64"})
     return tables
 
 
@@ -298,8 +293,8 @@ def build_golden(sf_dir: str,
     from .analysis import SANDBOX_ENTITIES
 
     corpus = corpus_pdf(sf_dir)
-    parsed = parsed_pdf(corpus)
-    tables = enriched_tables(diff_tables(parsed, config), config)
+    raw_tables = diff_tables(corpus, config)
+    tables = enriched_tables(raw_tables, config)
     vc = tables["value_change"]
     feats = feature_frames(vc)
     stats = tables["entity_stats"]
@@ -337,9 +332,7 @@ def build_golden(sf_dir: str,
     for name, fdf in feats.items():
         out[f"kg_{name}"] = fdf
 
-    q = parsed[(~parsed["parse_ok"]) & (~parsed["is_deleted"])]
-    out["kg_quarantine"] = q[["repo", "path", "commit", "revision_id",
-                              "error"]].reset_index(drop=True)
+    out["kg_quarantine"] = raw_tables["quarantine"].reset_index(drop=True)
 
     # streaming day-window ingest rates (kg_stream_rates): every corpus row
     # with a parseable meta.timestamp counts, tumbling 1-day windows
