@@ -99,59 +99,97 @@ def parse_dump_bytes(repo: str, raw: bytes) -> Iterator[dict]:
         elem.clear()
 
 
+def _render_repo_dump(repo_rows: pd.DataFrame) -> bytes:
+    """Render one repo shard's corpus rows (any order) as MediaWiki
+    ``pages-meta-history`` XML bytes — the inverse of
+    :func:`parse_dump_bytes`.  Revision metadata moves back into XML
+    elements; the ``<text>`` payload is the content with ``meta`` stripped
+    (undecodable content passes through raw, exactly what the reader
+    expects to re-quarantine)."""
+    import xml.sax.saxutils as SX
+
+    g = repo_rows.sort_values(["path", "commit"], kind="mergesort")
+    parts = [f'<mediawiki xmlns="{MEDIAWIKI_NS}">']
+    for title, page in g.groupby("path", sort=True):
+        parts.append(f"<page><title>{SX.escape(str(title))}</title>")
+        for rec in page.to_dict("records"):
+            try:
+                doc = json.loads(rec["content"])
+                meta = doc.pop("meta", {}) or {}
+            except (json.JSONDecodeError, AttributeError):
+                doc, meta = None, {}
+            rid = meta.get("revision_id") or 0
+            parent = meta.get("parent_id")
+            parts.append(f"<revision><id>{rid}</id>")
+            if parent is not None:
+                parts.append(f"<parentid>{parent}</parentid>")
+            parts.append(
+                f"<timestamp>{SX.escape(str(meta.get('timestamp') or ''))}"
+                f"</timestamp><contributor>"
+                f"<username>{SX.escape(str(meta.get('username') or ''))}"
+                f"</username><id>{SX.escape(str(meta.get('user_id') or ''))}"
+                f"</id></contributor>"
+                f"<comment>{SX.escape(str(meta.get('comment') or ''))}"
+                f"</comment>")
+            if rec["lang"] == "deleted":
+                parts.append('<text deleted="deleted" /></revision>')
+                continue
+            payload = (json.dumps(doc, ensure_ascii=False)
+                       if doc is not None else rec["content"])
+            parts.append(f"<text>{SX.escape(payload)}</text></revision>")
+        parts.append("</page>")
+    parts.append("</mediawiki>")
+    return "".join(parts).encode("utf-8")
+
+
 def write_corpus_as_dumps(corpus: pd.DataFrame, out_dir: str,
                           compress: bool = True) -> list[str]:
-    """Inverse of :func:`parse_dump_bytes` for harness round-trips: render a
-    documents corpus as MediaWiki ``pages-meta-history`` XML (one file per
-    ``repo`` shard, bz2 like the real dumps).  Revision metadata moves back
-    into XML elements; the ``<text>`` payload is the content with ``meta``
-    stripped (undecodable content passes through raw, exactly what the
-    reader expects to re-quarantine).  Test-harness scale: builds files on
-    the driver from a collected corpus."""
+    """Driver-side shard writer (small fixtures / unit tests).  For anything
+    bigger use :func:`write_corpus_as_dumps_distributed` — it never moves
+    the corpus through the driver."""
     import os
-    import xml.sax.saxutils as SX
 
     os.makedirs(out_dir, exist_ok=True)
     paths = []
-    corpus = corpus.sort_values(["repo", "path", "commit"], kind="mergesort")
     for repo, g in corpus.groupby("repo", sort=True):
-        parts = [f'<mediawiki xmlns="{MEDIAWIKI_NS}">']
-        for title, page in g.groupby("path", sort=True):
-            parts.append(f"<page><title>{SX.escape(str(title))}</title>")
-            for rec in page.to_dict("records"):
-                try:
-                    doc = json.loads(rec["content"])
-                    meta = doc.pop("meta", {}) or {}
-                except (json.JSONDecodeError, AttributeError):
-                    doc, meta = None, {}
-                rid = meta.get("revision_id") or 0
-                parent = meta.get("parent_id")
-                parts.append(f"<revision><id>{rid}</id>")
-                if parent is not None:
-                    parts.append(f"<parentid>{parent}</parentid>")
-                parts.append(
-                    f"<timestamp>{SX.escape(str(meta.get('timestamp') or ''))}"
-                    f"</timestamp><contributor>"
-                    f"<username>{SX.escape(str(meta.get('username') or ''))}"
-                    f"</username><id>{SX.escape(str(meta.get('user_id') or ''))}"
-                    f"</id></contributor>"
-                    f"<comment>{SX.escape(str(meta.get('comment') or ''))}"
-                    f"</comment>")
-                if rec["lang"] == "deleted":
-                    parts.append('<text deleted="deleted" /></revision>')
-                    continue
-                payload = (json.dumps(doc, ensure_ascii=False)
-                           if doc is not None else rec["content"])
-                parts.append(f"<text>{SX.escape(payload)}</text></revision>")
-            parts.append("</page>")
-        parts.append("</mediawiki>")
-        blob = "".join(parts).encode("utf-8")
+        blob = _render_repo_dump(g)
         path = os.path.join(out_dir,
                             f"{repo}.xml.bz2" if compress else f"{repo}.xml")
         with open(path, "wb") as f:
             f.write(bz2.compress(blob) if compress else blob)
         paths.append(path)
     return paths
+
+
+def write_corpus_as_dumps_distributed(docs, out_dir: str,
+                                      compress: bool = True) -> list[str]:
+    """Executor-side shard writer: group the corpus DataFrame by ``repo``
+    and render+write one ``.xml.bz2`` per shard inside the grouped task —
+    the corpus never passes through the driver (at sf>=0.1 the driver-side
+    path pulls the whole corpus into driver memory).  ``out_dir`` must be
+    storage every executor can reach (shared FS / object store; local FS in
+    local mode)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        repo = str(pdf["repo"].iloc[0])
+        blob = _render_repo_dump(pdf)
+        path = os.path.join(out_dir,
+                            f"{repo}.xml.bz2" if compress else f"{repo}.xml")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(bz2.compress(blob) if compress else blob)
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path], "n_rows": [len(pdf)]})
+
+    written = (docs.repartition(F.col("repo")).groupBy("repo")
+               .applyInPandas(write_shard, schema="path string, n_rows long")
+               .collect())
+    return sorted(r["path"] for r in written)
 
 
 def read_mediawiki_dump(spark: SparkSession, path_glob: str) -> DataFrame:
