@@ -78,3 +78,23 @@ class TestCheckpoint:
         b = materialize.with_entity_bucket(
             a.select("repo", "entity_id", "b1"))
         assert b.filter(F.col("b1") != F.col("entity_bucket")).count() == 0
+
+
+class TestIcebergSeam:
+    """The Iceberg catalog path is conf-gated: absent here (no runtime in
+    this container) the parquet path runs; the detector itself is pinned."""
+
+    def test_no_catalog_in_container(self, spark):
+        from widiff_spark.materialize import iceberg_catalog
+        assert iceberg_catalog(spark) is None
+
+    def test_catalog_detection(self):
+        from widiff_spark.materialize import _catalog_from_confs
+        confs = [
+            ("spark.master", "local[4]"),
+            ("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog"),
+            ("spark.sql.catalog.lake.type", "hive"),
+        ]
+        assert _catalog_from_confs(confs) == "lake"
+        assert _catalog_from_confs([("spark.sql.catalog.x", "com.other.Cat")]) is None
+        assert _catalog_from_confs([]) is None

@@ -218,3 +218,57 @@ def test_quarantine_meta_recovery():
     clean = replay_corpus(rows)
     assert [q["revision_id"] for q in clean["quarantine"]] == [None]
     assert len(clean["revision"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# feature-battery differential: cleanroom/features.py vs engine featurelib
+# ---------------------------------------------------------------------------
+
+from widiff_spark import featurelib as FL  # noqa: E402
+from cleanroom import features as CF  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sampled_from(["text", "entity"]),
+       st.text(max_size=25), st.text(max_size=25))
+def test_text_features_differential(datatype, old, new):
+    assert CF.text_features(datatype, old, new) == \
+        FL.text_features(datatype, old, new)
+
+
+_NUM = st.builds(
+    lambda sign, digits, frac, plus, quote: (
+        (f'"{sign}{digits}{frac}"' if quote else f"{sign}{digits}{frac}")
+        if not plus else f"+{digits}{frac}"),
+    st.sampled_from(["", "-"]), st.integers(0, 99999).map(str),
+    st.sampled_from(["", ".0", ".5", ".00", ".250", ".01"]),
+    st.booleans(), st.booleans())
+
+
+@settings(max_examples=300, deadline=None)
+@given(_NUM, _NUM)
+def test_quantity_features_differential(old, new):
+    assert CF.quantity_features(old, new) == FL.quantity_features(old, new)
+
+
+_COORD = st.sampled_from([0.0, 0.5, -0.5, 1.0, 12.25, -80.0, 0.01, 52.516667])
+
+
+@settings(max_examples=300, deadline=None)
+@given(_COORD, _COORD, _COORD, _COORD)
+def test_globe_features_differential(lat1, lon1, lat2, lon2):
+    old = json.dumps({"longitude": lon1, "latitude": lat1})
+    new = json.dumps({"longitude": lon2, "latitude": lat2})
+    assert CF.globe_features(old, new) == FL.globe_features(old, new)
+
+
+_DATE = st.builds(
+    lambda sign, y, m, d: f'"{sign}{y:04d}-{m:02d}-{d:02d}T00:00:00Z"',
+    st.sampled_from(["+", "-", "+0000"]),
+    st.integers(0, 2100), st.integers(0, 12), st.integers(0, 28))
+
+
+@settings(max_examples=300, deadline=None)
+@given(_DATE, _DATE)
+def test_time_features_differential(old, new):
+    assert CF.time_features(old, new) == FL.time_features(old, new)

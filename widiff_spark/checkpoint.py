@@ -124,10 +124,30 @@ def record(spark: SparkSession, path: str, docs: DataFrame,
            .fillna(0, ["num_pages", "num_revisions", "num_triples"])
            .withColumn("run_id", F.lit(run_id))
            .withColumn("completed_at", F.lit(time.time())))
+    new_cols = [c.split(" ")[0] for c in _SCHEMA.split(", ")]
+
+    # Iceberg path: the ledger upsert is a real MERGE INTO (snapshot-
+    # isolated, no swap window).  Executes only on clusters with an Iceberg
+    # catalog configured; this container has none, so the parquet swap
+    # below is what runs here.
+    from .materialize import iceberg_catalog
+    catalog = iceberg_catalog(spark)
+    if catalog is not None:
+        full = f"{catalog}.widiff.{CHECKPOINT_TABLE}"
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.widiff")
+        if not spark.catalog.tableExists(full):
+            new.select(*new_cols).writeTo(full).using("iceberg").create()
+            return
+        new.select(*new_cols).createOrReplaceTempView("__ckpt_updates")
+        spark.sql(f"""
+            MERGE INTO {full} t USING __ckpt_updates s ON t.bucket = s.bucket
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+        return
+
     old = read_checkpoints(spark, path)
     merged = (old.join(new.select("bucket"), "bucket", "left_anti")
-              .unionByName(new.select(*[c.split(" ")[0] for c in
-                                        _SCHEMA.split(", ")])))
+              .unionByName(new.select(*new_cols)))
     # parquet has no in-place MERGE (an Iceberg catalog would run MERGE INTO
     # here): stage the merged table distributed, then swap directories via
     # the Hadoop FileSystem API — no driver-side collect in the commit path,

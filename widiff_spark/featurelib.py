@@ -173,8 +173,15 @@ def length_change(old_value, new_value, datatype="quantity", option="increase",
         new_len, old_len = _digits_len(new_value), _digits_len(old_value)
     else:
         if "{" in str(old_value) and "{" in str(new_value):
-            new_len = _digits_len(str(_part(new_value, part) or ""))
-            old_len = _digits_len(str(_part(old_value, part) or ""))
+            # .get(part, '') semantics: a falsy-but-present coordinate (0.0)
+            # keeps its digits like the reference (feature_creation.py:601-
+            # 604); the previous `or ""` collapsed 0.0 to '' (benign today —
+            # the prefix gate masks it — but it reads differently than the
+            # reference and the cleanroom fuzz compares these paths)
+            new_part = _part(new_value, part)
+            old_part = _part(old_value, part)
+            new_len = _digits_len("" if new_part is None else str(new_part))
+            old_len = _digits_len("" if old_part is None else str(old_part))
         else:
             return 0
     if option == "increase":

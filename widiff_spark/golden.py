@@ -10,10 +10,10 @@ from the reference sources and sharing zero code with the engine's
 differential-fuzzes the two implementations against each other (scripted
 edge corpus, sf0.001 derived corpus, randomized adversarial histories,
 hypothesis edit scripts); a bug in an engine kernel therefore surfaces as a
-driver-oracle mismatch instead of cancelling out.  The remaining shared
-surface is the pure per-row feature batteries (featurelib; pinned by
-hand-derived expectations in tests) and the corpus *generator* (fixtures —
-the input, not the oracle).
+driver-oracle mismatch instead of cancelling out.  The feature batteries
+likewise come from ``cleanroom/features.py`` (fuzzed against the engine's
+featurelib).  The only remaining shared surface is the corpus *generator*
+(fixtures — the input, not the oracle).
 
 Everything Spark actually *executes differently* — the page-bucket shuffle,
 Arrow batching, the broadcast label joins, the JVM-side week/year buckets,
@@ -34,9 +34,9 @@ from datetime import datetime
 import numpy as np
 import pandas as pd
 
-from cleanroom import replay_corpus
+from cleanroom import features as CF, replay_corpus
 
-from . import featurelib as FL, fixtures
+from . import fixtures
 from .canonical import WD_ENTITY_TYPES, WD_STRING_TYPES
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .features import (ENTITY_CLOSURE_COLS, ENTITY_SIM_COLS, GLOBE_FEATURE_COLS,
@@ -185,16 +185,16 @@ def feature_frames(value_change: pd.DataFrame) -> dict[str, pd.DataFrame]:
         return out[_BASE_COLS + cols + ["entity_label"] + list(extras)]
 
     text = battery(upd[upd["new_datatype"].isin(WD_STRING_TYPES)],
-                   lambda o, n: FL.text_features("text", o, n),
+                   lambda o, n: CF.text_features("text", o, n),
                    TEXT_FEATURE_COLS,
                    {"value_cosine_similarity": 0.0, "label": "",
                     "processed": False})
-    time_f = battery(upd[upd["new_datatype"] == "time"], FL.time_features,
+    time_f = battery(upd[upd["new_datatype"] == "time"], CF.time_features,
                      TIME_FEATURE_COLS, {"label": ""})
-    qty = battery(upd[upd["new_datatype"] == "quantity"], FL.quantity_features,
+    qty = battery(upd[upd["new_datatype"] == "quantity"], CF.quantity_features,
                   QUANTITY_FEATURE_COLS, {"label": ""})
     globe = battery(upd[upd["new_datatype"] == "globecoordinate"],
-                    FL.globe_features, GLOBE_FEATURE_COLS,
+                    CF.globe_features, GLOBE_FEATURE_COLS,
                     {"label_latitude": "", "label_longitude": ""})
 
     ent = upd[upd["new_datatype"].isin(WD_ENTITY_TYPES)][

@@ -18,8 +18,15 @@ to ``{suffix}`` table families (db_writer.py:146-156).  Here:
   overwritePartitions()`` (same logical contract, snapshot isolation for
   free).
 
-Format: parquet (this container ships no Iceberg runtime); the layout and
-semantics are Iceberg-shaped so the swap is a one-liner.
+Format: the writer auto-detects a configured Iceberg catalog
+(``spark.sql.catalog.<name> = org.apache.iceberg...``) and routes through
+``writeTo(...).overwritePartitions()`` when one is present (north_rule:
+"materializing partitioned Iceberg tables"); otherwise it falls back to
+plain parquet with dynamic partition overwrite — the same logical contract
+without snapshot isolation.  This container ships no Iceberg runtime, so
+only the fallback executes here; the catalog path is exercised on any
+cluster with the iceberg-spark-runtime jar + a catalog conf, no code
+changes.
 """
 
 from __future__ import annotations
@@ -48,13 +55,56 @@ def with_entity_bucket(df: DataFrame, n_buckets: int = N_ENTITY_BUCKETS) -> Data
                                 F.lit(n_buckets)).cast("int"))
 
 
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of the first configured Iceberg catalog, or None.
+
+    Detection is conf-based (``spark.sql.catalog.<name>`` pointing at an
+    Iceberg catalog impl) so the engine needs no Iceberg import at all when
+    the runtime jar is absent."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:  # e.g. Connect sessions without a SparkContext
+        return None
+    return _catalog_from_confs(confs)
+
+
+def _catalog_from_confs(confs) -> str | None:
+    for k, v in confs:
+        parts = str(k).split(".")
+        if (len(parts) == 4 and parts[:3] == ["spark", "sql", "catalog"]
+                and "iceberg" in str(v).lower()):
+            return parts[3]
+    return None
+
+
+def _write_iceberg(df: DataFrame, catalog: str, table: str,
+                   partition_cols: list[str],
+                   namespace: str = "widiff") -> None:
+    """Iceberg sink: create-on-first-write, then ``overwritePartitions`` —
+    the exactly-once redo-unit contract write_table documents, with
+    snapshot isolation from the table format.  Executes only on clusters
+    with an Iceberg catalog configured (see module docstring)."""
+    spark = df.sparkSession
+    full = f"{catalog}.{namespace}.{table}"
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+    if spark.catalog.tableExists(full):
+        df.writeTo(full).overwritePartitions()
+    else:
+        writer = df.writeTo(full).using("iceberg")
+        if partition_cols:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
+        writer.create()
+
+
 def write_table(df: DataFrame, path: str, table: str,
                 partition_cols: list[str] | None = None,
                 mode: str = "overwrite") -> None:
     """Idempotent partitioned write with PK dedup.
 
-    Uses dynamic partition overwrite so re-running a subset of buckets
-    replaces exactly those partitions (the resume path, checkpoint.py).
+    Routes to the Iceberg catalog when one is configured; otherwise plain
+    parquet with dynamic partition overwrite, so re-running a subset of
+    buckets replaces exactly those partitions (the resume path,
+    checkpoint.py).
     """
     pk = TABLE_PKS.get(table)
     if pk and all(c in df.columns for c in pk):
@@ -71,6 +121,10 @@ def write_table(df: DataFrame, path: str, table: str,
             df = with_entity_bucket(df)
         if "entity_bucket" in df.columns:
             partition_cols.append("entity_bucket")
+    catalog = iceberg_catalog(df.sparkSession)
+    if catalog is not None:
+        _write_iceberg(df, catalog, table, partition_cols)
+        return
     writer = (df.write.mode(mode)
               .option("partitionOverwriteMode", "dynamic"))
     if partition_cols:

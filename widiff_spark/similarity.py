@@ -103,16 +103,24 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return [float(v) for v in out[:dim]]
 
 
-def lsh_sketch(embeddings: DataFrame, dim: int, n_planes: int = 8,
-               emb_col: str = "embedding") -> DataFrame:
-    """Sign-bit sketch: bit p = (embedding . hyperplane_p) >= 0."""
+def _sketch_expr(emb_col: str, dim: int, n_planes: int, table: int = 0):
+    """Sign-bit sketch column: bit p = (embedding . hyperplane) >= 0.
+    ``table`` offsets the hyperplane seeds (table*64 + p) so independent
+    hash tables see independent projections; table 0 matches the original
+    single-table sketch."""
     sketch = None
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, table * 64 + p)])
         bit = F.when(_dot(F.col(emb_col), plane) >= 0,
                      F.lit(1 << p)).otherwise(F.lit(0))
         sketch = bit if sketch is None else (sketch + bit)
-    return embeddings.withColumn("sketch", sketch.cast("int"))
+    return sketch.cast("int")
+
+
+def lsh_sketch(embeddings: DataFrame, dim: int, n_planes: int = 8,
+               emb_col: str = "embedding", table: int = 0) -> DataFrame:
+    return embeddings.withColumn(
+        "sketch", _sketch_expr(emb_col, dim, n_planes, table))
 
 
 def knn_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
@@ -133,6 +141,53 @@ def knn_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
               .select("query_id", F.col("embedding").alias("q_emb"),
                       F.explode(probe_variants).alias("sketch")))
     scored = (corpus.join(F.broadcast(probes), "sketch")
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(cosine_expr(F.col("embedding"),
+                                          F.col("q_emb")), 4).alias("cosine"))
+              .distinct())
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def knn_lsh_tables(embeddings: DataFrame, queries: DataFrame, dim: int,
+                   k: int = 5, n_planes: int = 4,
+                   n_tables: int = 6) -> DataFrame:
+    """Multi-table LSH ANN: ``n_tables`` independent hash tables (each its
+    own hyperplane family) with radius-1 multi-probe per table; candidates
+    are the union over tables, verified by exact cosine.
+
+    A neighbor is missed only if every table separates it from the query —
+    the miss probability decays exponentially in n_tables, which is the
+    standard recall lever single-table probing (knn_lsh, 56% recall@5 on
+    the driver corpus) lacks.  Cost is linear in n_tables: each table is an
+    equi-join on (table_id, sketch); the corpus is sketched once per table
+    in one projection (no extra scans), queries stay broadcast.  Measured
+    recall@5 vs knn_bruteforce (sf0.01, 20 queries): 53% at 1 table ->
+    77%/94%/99%/100% at 2/4/6/8 tables; full curve in BENCH/BASELINE.md."""
+    c_sketches = F.array(*[_sketch_expr("embedding", dim, n_planes, t)
+                           for t in range(n_tables)])
+    corpus = (embeddings
+              .select("vec_id", "embedding",
+                      F.posexplode(c_sketches).alias("table_id", "sketch")))
+
+    probe_rows = []
+    for t in range(n_tables):
+        base = _sketch_expr("embedding", dim, n_planes, t)
+        variants = F.array(base, *[base.bitwiseXOR(F.lit(1 << p))
+                                   for p in range(n_planes)])
+        probe_rows.append(queries.select(
+            "query_id", F.col("embedding").alias("q_emb"),
+            F.lit(t).alias("table_id"),
+            F.explode(variants).alias("sketch")))
+    probes = probe_rows[0]
+    for extra in probe_rows[1:]:
+        probes = probes.unionByName(extra)
+
+    scored = (corpus.join(F.broadcast(probes), ["table_id", "sketch"])
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
                       F.round(cosine_expr(F.col("embedding"),
