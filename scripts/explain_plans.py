@@ -35,6 +35,24 @@ def trim(p: str, max_lines: int = 70) -> str:
     return "\n".join(lines)
 
 
+def _closure_round(spark, sf):
+    """One semi-naive round, written out exactly as closure.transitive_closure
+    builds it (pre-checkpoint), so its join strategy is reviewable."""
+    from pyspark.sql import functions as F
+
+    from widiff_spark import closure as CL
+
+    edges = CL.hierarchy_edges(spark, sf).distinct()
+    hop = edges.select(F.col("property_id").alias("_pid"),
+                       F.col("src").alias("_hop_src"),
+                       F.col("dst").alias("_hop_dst"))
+    grown = (edges.join(hop, (edges["dst"] == hop["_hop_src"])
+                        & (edges["property_id"] == hop["_pid"]))
+             .select("property_id", "src", F.col("_hop_dst").alias("dst"))
+             .distinct())
+    return grown.join(edges, ["property_id", "src", "dst"], "left_anti")
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = build_session(master="local[8]", shuffle_partitions=8)
@@ -84,6 +102,18 @@ def main() -> None:
          "the INTENDED exact-scan shape — a cross of the corpus with a "
          "5-row broadcast is a flatMap, not a pair blowup (the ANN variants "
          "replace it with sketch/cell equi-joins)."),
+        ("multi-table LSH ANN (ann_knn_lsh_multi)",
+         similarity.knn_lsh_tables(emb, queries, dim=64, k=5, n_planes=4,
+                                   n_tables=6),
+         "One (table_id, sketch) equi-join against broadcast probe rows; "
+         "the corpus is sketched for all 6 tables in a single posexplode "
+         "projection (one scan), candidates verified by exact cosine."),
+        ("transitive-closure round join (closure.py semi-naive step)",
+         _closure_round(spark, sf),
+         "The per-round delta join is a plain (property_id, dst=src) "
+         "equi-join + distinct + left-anti against the known closure — no "
+         "CartesianProduct / BroadcastNestedLoopJoin; localCheckpoint "
+         "between rounds keeps this plan flat at any depth."),
     ]
 
     out = ["# PLANS.md — physical plans of the headline operators",

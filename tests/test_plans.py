@@ -159,3 +159,52 @@ class TestDiffShuffle:
         # wide content column was dropped before it (parse output schema)
         assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
         assert node_id(p, "Scan parquet") < node_id(p, "Exchange")
+
+
+class TestRound3Plans:
+    """Closure round join + multi-table LSH stay equi-joins (no pair
+    products); the closure result plan stays flat via localCheckpoint."""
+
+    def test_closure_round_join_is_equijoin(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from widiff_spark import closure
+        edges = spark.createDataFrame(pd.DataFrame(
+            [(279, f"Q{i}", f"Q{i+1}") for i in range(20)],
+            columns=["property_id", "src", "dst"])).distinct()
+        hop = edges.select(F.col("property_id").alias("_pid"),
+                           F.col("src").alias("_hop_src"),
+                           F.col("dst").alias("_hop_dst"))
+        grown = (edges.join(hop, (edges["dst"] == hop["_hop_src"])
+                            & (edges["property_id"] == hop["_pid"]))
+                 .select("property_id", "src",
+                         F.col("_hop_dst").alias("dst")).distinct())
+        p = plan(grown.join(edges, ["property_id", "src", "dst"],
+                            "left_anti"))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_closure_result_plan_is_flat(self, spark):
+        import pandas as pd
+        from widiff_spark import closure
+        edges = spark.createDataFrame(pd.DataFrame(
+            [(279, f"Q{i}", f"Q{i+1}") for i in range(16)],
+            columns=["property_id", "src", "dst"]))
+        out = closure.transitive_closure(edges)
+        # depth-16 closure: the final plan must be a union over checkpointed
+        # scans, not a 16-round nested join tree
+        p = plan(out)
+        assert "Scan ExistingRDD" in p
+        assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") \
+            + p.count("BroadcastHashJoin") == 0
+
+    def test_multi_table_lsh_equijoin_broadcast_probes(self, spark):
+        from widiff_spark import similarity
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter("vec_id < 5").selectExpr("vec_id as query_id",
+                                                "embedding")
+        p = plan(similarity.knn_lsh_tables(emb, q, dim=64, k=5,
+                                           n_planes=4, n_tables=3))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BroadcastHashJoin" in p  # probes broadcast to the corpus
