@@ -1039,6 +1039,9 @@ class Replayer:
             "datatype_metadata_change": self.meta_rows,
             "entity_stats": st,
             "entity_label": entity_label,
+            # final label state (ExtractLabelsProperties.java:111-146 dim)
+            "labels": {"label": self.label, "alias": self.alias,
+                       "description": self.description},
             "quarantine": self.quarantine,
         }
 
@@ -1074,6 +1077,7 @@ def replay_corpus(rows, **cfg) -> dict:
                                  "qualifier_change", "reference_change",
                                  "datatype_metadata_change")}
     out["entity_stats"] = []
+    out["entity_labels"] = []
     out["quarantine"] = []
     for (repo, path) in sorted(pages):
         res = replay_page(repo, path, pages[(repo, path)], **cfg)
@@ -1086,5 +1090,8 @@ def replay_corpus(rows, **cfg) -> dict:
         stats = res["entity_stats"]
         stats["repo"] = repo
         out["entity_stats"].append(stats)
+        out["entity_labels"].append({
+            "repo": repo, "qid": path, "numeric_id": qid_int(path),
+            **res["labels"]})
         out["quarantine"].extend(res["quarantine"])
     return out

@@ -1,0 +1,56 @@
+"""Dump-level dim extractors (extractors.py vs the wdtk reference tools)."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from widiff_spark import extractors, fixtures, parse
+
+
+def _parsed(spark, rows):
+    docs = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content"]))
+    return parse.parse_documents(docs)
+
+
+def test_entity_labels_last_nonempty(spark):
+    rows = [
+        fixtures.row("Q1", 10, fixtures.content(10, fixtures._ts(0),
+                                                label="first", desc="d1")),
+        # label goes missing -> previous value sticks (last NON-EMPTY)
+        fixtures.row("Q1", 11, fixtures.content(11, fixtures._ts(1),
+                                                desc="d2",
+                                                aliases=["ali"])),
+        fixtures.row("Q1", 12, fixtures.content(12, fixtures._ts(2),
+                                                label="final")),
+        # page whose only revision is broken JSON: empty fields, still a row
+        fixtures.row("Q2", 20, "{broken"),
+    ]
+    out = {r.qid: r for r in
+           extractors.entity_labels(_parsed(spark, rows)).collect()}
+    assert out["Q1"].label == "final"
+    assert out["Q1"].alias == "ali"
+    assert out["Q1"].description == "d2"
+    assert out["Q1"].numeric_id == 1
+    assert (out["Q2"].label, out["Q2"].alias, out["Q2"].description) \
+        == ("", "", "")
+
+
+def test_type_pairs_live_statements(spark):
+    vc = spark.createDataFrame(pd.DataFrame([
+        # P31 updated Q5 -> Q42: live pair is Q42
+        (7, 31, "s1", "", "CREATE", '"Q5"', 100),
+        (7, 31, "s1", "", "UPDATE", '"Q42"', 200),
+        # P279 deleted: no pair
+        (7, 279, "s2", "", "CREATE", '"Q9"', 100),
+        (7, 279, "s2", "", "DELETE", "{}", 300),
+        # other property ignored
+        (7, 361, "s3", "", "CREATE", '"Q2"', 100),
+    ], columns=["entity_id", "property_id", "value_id", "change_target",
+                "action", "new_value", "revision_id"]))
+    got = [(r.property_id, r.entity, r.entity_numeric_id, r.entity_type,
+            r.entity_type_numeric_id)
+           for r in extractors.type_pairs(vc).collect()]
+    assert got == [(31, "Q7", 7, "Q42", 42)]

@@ -1,0 +1,76 @@
+"""Dump-level dim extractors (reference wdtk/ExtractLabelsProperties.java,
+wdtk/ExtractInstanceOfSubclassOf.java).
+
+The reference ships two more single-JVM dump passes beside the closure
+builder: one writes the per-entity (label, alias, description) dim CSV the
+feature backfill joins against (ExtractLabelsProperties.java:87-146), one
+writes the live P31/P279 (entity, type) pair CSVs
+(ExtractInstanceOfSubclassOf.java:42-150).  Spark-first:
+
+* ``entity_labels`` — last-non-empty label/alias/description per page,
+  computed JVM-side from the parsed snapshot column: ``get_json_object``
+  projections + a max-by-commit aggregate (commit strings are zero-padded,
+  so lexicographic max = latest revision).  One shuffle, no Python.
+* ``type_pairs`` — the live end-of-history P31/P279 statements, via the
+  same live-statement window ``closure.live_edges`` uses (the reference's
+  dump pass sees exactly the final snapshot).
+
+Both are driver-oracled: kg_entity_labels against the cleanroom replay's
+label state (golden parquet), kg_type_pairs against an independent DuckDB
+window derivation over the golden value_change parquet.
+
+Property labels (the PropertyDocument half of ExtractLabelsProperties) are
+out of the corpus contract — the input namespace filter keeps item pages
+only (``Q<digits>``, reference file_parser.py:326-329), so the property
+dim enters as a broadcast side table (fixtures.property_labels_df), same
+as the reference consumes its separately-extracted CSV.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _last_nonempty(col, commit_col: str = "commit"):
+    """Value of ``col`` at the latest commit where it is non-empty (max of
+    (commit, value) structs; F.max skips the null structs)."""
+    return F.max(F.when(col.isNotNull() & (col != ""),
+                        F.struct(F.col(commit_col).alias("c"),
+                                 col.alias("v"))))["v"]
+
+
+def entity_labels(parsed: DataFrame) -> DataFrame:
+    """Per-entity (qid, numeric_id, label, alias, description) dim
+    (ExtractLabelsProperties.java:111-146) from the parsed revision table."""
+    lab = F.get_json_object("snapshot", "$.label")
+    ali = F.get_json_object("snapshot", "$.alias")
+    des = F.get_json_object("snapshot", "$.description")
+    return (parsed
+            .groupBy("repo", "path", "entity_id")
+            .agg(_last_nonempty(lab).alias("_l"),
+                 _last_nonempty(ali).alias("_a"),
+                 _last_nonempty(des).alias("_d"))
+            .select("repo",
+                    F.col("path").alias("qid"),
+                    F.col("entity_id").alias("numeric_id"),
+                    F.coalesce("_l", F.lit("")).alias("label"),
+                    F.coalesce("_a", F.lit("")).alias("alias"),
+                    F.coalesce("_d", F.lit("")).alias("description")))
+
+
+def type_pairs(value_change: DataFrame,
+               relations: tuple = (31, 279)) -> DataFrame:
+    """Live (entity, type) pairs for P31/P279
+    (ExtractInstanceOfSubclassOf.java:75-150): the statements alive at the
+    end of history, i.e. what the reference's dump pass reads from the
+    final snapshot."""
+    from .closure import live_edges
+
+    e = live_edges(value_change, relations)
+    return e.select(
+        "property_id",
+        F.col("src").alias("entity"),
+        F.expr("CAST(substring(src, 2) AS LONG)").alias("entity_numeric_id"),
+        F.col("dst").alias("entity_type"),
+        F.expr("CAST(substring(dst, 2) AS LONG)")
+         .alias("entity_type_numeric_id"))

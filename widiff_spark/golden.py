@@ -78,6 +78,10 @@ def diff_tables(corpus: pd.DataFrame,
         "revision", "value_change", "qualifier_change", "reference_change",
         "datatype_metadata_change")}
     tables["entity_stats"] = pd.DataFrame(clean["entity_stats"])
+    tables["entity_labels"] = pd.DataFrame(
+        clean["entity_labels"],
+        columns=["repo", "qid", "numeric_id", "label", "alias",
+                 "description"])
     tables["quarantine"] = pd.DataFrame(
         clean["quarantine"],
         columns=["repo", "path", "commit", "revision_id", "error"]) \
@@ -333,6 +337,8 @@ def build_golden(sf_dir: str,
         out[f"kg_{name}"] = fdf
 
     out["kg_quarantine"] = raw_tables["quarantine"].reset_index(drop=True)
+    out["kg_entity_labels"] = raw_tables["entity_labels"] \
+        .reset_index(drop=True)
 
     # streaming day-window ingest rates (kg_stream_rates): every corpus row
     # with a parseable meta.timestamp counts, tumbling 1-day windows
