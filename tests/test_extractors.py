@@ -54,3 +54,21 @@ def test_type_pairs_live_statements(spark):
             r.entity_type_numeric_id)
            for r in extractors.type_pairs(vc).collect()]
     assert got == [(31, "Q7", 7, "Q42", 42)]
+
+
+def test_entity_labels_matches_cleanroom_on_adversarial_corpus(spark):
+    """The JVM-side last-non-empty aggregate must agree with the cleanroom
+    replayer's label state on histories full of deleted/quarantined/
+    redirect/alias-only revisions."""
+    from cleanroom import replay_corpus
+    from test_salted_parity import _adversarial_corpus_rows
+
+    rows = _adversarial_corpus_rows(n_pages=60, seed=99)
+    clean = {r["qid"]: r for r in replay_corpus(rows)["entity_labels"]}
+    got = {r.qid: r for r in
+           extractors.entity_labels(_parsed(spark, rows)).collect()}
+    assert set(got) == set(clean)
+    for qid, r in got.items():
+        c = clean[qid]
+        assert (r.label, r.alias, r.description) == \
+            (c["label"], c["alias"], c["description"]), qid
