@@ -38,6 +38,16 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2] if len(sys.argv) > 2 else ""
 
+    # match the golden parquet to the sf under test (running the sf0.001
+    # corpus against the default sf0.01 goldens mismatches by construction)
+    import os
+    if "WIDIFF_GOLDEN_DIR" not in os.environ:
+        sf_name = os.path.basename(sf_dir.rstrip("/"))
+        candidate = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "golden", sf_name)
+        if os.path.isdir(candidate):
+            os.environ["WIDIFF_GOLDEN_DIR"] = candidate
+
     spark = build_session(master="local[16]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
