@@ -202,7 +202,7 @@ def _page_history(draw):
     return rows
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=120, deadline=None)
 @given(_page_history())
 def test_hypothesis_differential(rows):
     _assert_match(rows)
