@@ -98,3 +98,193 @@ class TestIcebergSeam:
         assert _catalog_from_confs(confs) == "lake"
         assert _catalog_from_confs([("spark.sql.catalog.x", "com.other.Cat")]) is None
         assert _catalog_from_confs([]) is None
+
+
+class TestCrashWindow:
+    """Kill-window coverage for the ledger swap (VERDICT r3 ask #5): the
+    vulnerable window is between the park-rename (target -> __old) and the
+    promote-rename (staging -> target)."""
+
+    def _seed(self, spark, tmp_path):
+        out = str(tmp_path / "warehouse")
+        docs = fixtures.edge_case_corpus(spark, include_hot_page=False)
+        r1 = run_incremental(spark, docs, out, run_id="r1")
+        assert r1["processed_buckets"]
+        return out, docs
+
+    def test_death_inside_window_recovers_from_backup(self, spark, tmp_path):
+        """Simulated crash AFTER the park-rename, BEFORE the promote: the
+        live ledger sits at __old only.  The next run must read the backup
+        and see unchanged input as a no-op (no bucket reprocessed)."""
+        import os
+
+        out, docs = self._seed(spark, tmp_path)
+        live = f"{out}/{checkpoint.CHECKPOINT_TABLE}"
+        os.rename(live, f"{live}__old")  # the exact mid-swap disk state
+        assert run_incremental(spark, docs, out,
+                               run_id="r2")["processed_buckets"] == []
+
+    def test_failed_promote_restores_ledger(self, spark, tmp_path, monkeypatch):
+        """The promote-rename returns False: record() must raise AND restore
+        the parked ledger so readers still see the pre-swap marks."""
+        import pytest
+
+        out, docs = self._seed(spark, tmp_path)
+        before = sorted(
+            map(tuple, checkpoint.read_checkpoints(spark, out)
+                .select("bucket", "max_commit").collect()))
+
+        real_rename = checkpoint._fs_rename.__wrapped__ \
+            if hasattr(checkpoint._fs_rename, "__wrapped__") \
+            else checkpoint._fs_rename
+
+        def failing(fs, src, dst):
+            if str(dst).endswith(checkpoint.CHECKPOINT_TABLE.split("/")[-1]) \
+                    and str(src).endswith("__staging"):
+                return False  # the promote fails; restore branch must run
+            return real_rename(fs, src, dst)
+
+        monkeypatch.setattr(checkpoint, "_fs_rename", failing)
+        extra = fixtures.row("Q102", 1102, fixtures.content(
+            1102, fixtures._ts(3), label="retry page"))
+        docs2 = docs.unionByName(
+            spark.createDataFrame(pd.DataFrame([extra])))
+        with pytest.raises(IOError, match="checkpoint swap"):
+            run_incremental(spark, docs2, out, run_id="r3")
+        monkeypatch.undo()
+        after = sorted(
+            map(tuple, checkpoint.read_checkpoints(spark, out)
+                .select("bucket", "max_commit").collect()))
+        assert after == before  # restored, not absent / half-swapped
+        # and the engine converges on retry once the fault clears
+        r = run_incremental(spark, docs2, out, run_id="r4")
+        assert r["processed_buckets"]
+
+
+class TestIcebergSql:
+    """The Iceberg branch never executes in this container (no runtime jar,
+    no network — COVERAGE.md records the attempt), so its SQL *text* is
+    pinned here: every statement must survive Spark's parser (ADVICE r3:
+    the old '{catalog}.widiff._checkpoints/highwater' identifier threw a
+    ParseException on any real Iceberg cluster)."""
+
+    def _parse(self, spark, sql):
+        spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+
+    def test_merge_sql_parses(self, spark):
+        sql = checkpoint._iceberg_merge_sql("lake", "__ckpt_updates")
+        assert "/" not in sql.split(" USING ")[0]
+        self._parse(spark, sql)
+
+    def test_create_namespace_parses(self, spark):
+        self._parse(spark, "CREATE NAMESPACE IF NOT EXISTS `lake`.`widiff`")
+
+    def test_ledger_identifier_is_plain(self, spark):
+        full = checkpoint._iceberg_ledger_identifier("lake")
+        assert full == "`lake`.`widiff`.`checkpoints_highwater`"
+        self._parse(spark, f"SELECT * FROM {full}")
+
+    def test_table_identifier_quotes_every_part(self, spark):
+        ident = materialize.iceberg_identifier("lake", "value_change")
+        assert ident == "`lake`.`widiff`.`value_change`"
+        self._parse(spark, f"SELECT * FROM {ident}")
+
+
+class _Rec:
+    """Duck-typed SparkSession recording catalog reads (the Iceberg read
+    routing can't execute here — no runtime — but the routing decision and
+    the identifier it resolves are real code paths)."""
+
+    class _Read:
+        def __init__(self, outer):
+            self.outer = outer
+
+        def table(self, name):
+            self.outer.read_tables.append(name)
+            return "DF:" + name
+
+    class _Catalog:
+        def __init__(self, exists):
+            self._exists = exists
+
+        def tableExists(self, name):
+            return self._exists
+
+    class _SC:
+        class _Conf:
+            def getAll(self):
+                return [("spark.sql.catalog.lake",
+                         "org.apache.iceberg.spark.SparkCatalog")]
+
+        def getConf(self):
+            return self._Conf()
+
+    def __init__(self, exists=True):
+        self.read_tables = []
+        self.read = self._Read(self)
+        self.catalog = self._Catalog(exists)
+        self.sparkContext = self._SC()
+
+
+class TestIcebergReadRouting:
+    def test_read_checkpoints_routes_to_catalog(self):
+        fake = _Rec(exists=True)
+        out = checkpoint.read_checkpoints(fake, "/never/written")
+        assert out == "DF:`lake`.`widiff`.`checkpoints_highwater`"
+        assert fake.read_tables == ["`lake`.`widiff`.`checkpoints_highwater`"]
+
+    def test_read_table_routes_to_catalog(self):
+        fake = _Rec(exists=True)
+        out = materialize.read_table(fake, "/never/written", "value_change")
+        assert out == "DF:`lake`.`widiff`.`value_change`"
+
+    def test_parquet_fallback_without_catalog(self, spark, tmp_path):
+        import pandas as _pd
+
+        p = str(tmp_path / "t")
+        spark.createDataFrame(_pd.DataFrame({"a": [1, 2]})) \
+            .write.parquet(f"{p}/value_change")
+        assert materialize.read_table(spark, p, "value_change").count() == 2
+
+
+class TestIcebergWriteMode:
+    def test_write_iceberg_honors_mode(self):
+        """mode='append' must append, not overwritePartitions (ADVICE r3:
+        a future append caller would silently overwrite on Iceberg only)."""
+        calls = []
+
+        class _Writer:
+            def append(self):
+                calls.append("append")
+
+            def overwritePartitions(self):
+                calls.append("overwritePartitions")
+
+        class _FakeDF:
+            class _S:
+                def sql(self, q):
+                    calls.append(("sql", q))
+
+                class catalog:
+                    @staticmethod
+                    def tableExists(name):
+                        return True
+
+            sparkSession = _S()
+
+            def writeTo(self, full):
+                calls.append(("writeTo", full))
+                return _Writer()
+
+        materialize._write_iceberg(_FakeDF(), "lake", "t", [], mode="append")
+        assert "append" in calls and "overwritePartitions" not in calls
+        materialize._write_iceberg(_FakeDF(), "lake", "t", [], mode="overwrite")
+        assert "overwritePartitions" in calls
+
+    def test_write_table_returns_parquet_location(self, spark, tmp_path):
+        import pandas as _pd
+
+        df = spark.createDataFrame(_pd.DataFrame({"a": [1]}))
+        loc = materialize.write_table(df, str(tmp_path), "misc_table")
+        assert loc == f"{tmp_path}/misc_table"
+        assert spark.read.parquet(loc).count() == 1

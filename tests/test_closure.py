@@ -116,3 +116,18 @@ def test_dims_feed_entity_backfill(spark):
     assert row.old_value_part_of_new_value == 1   # Q2 -> Q544 via builder
     assert row.new_value_part_of_old_value == 0
     assert row.old_value_subclass_new_value == 0  # missing dims default 0
+
+
+def test_max_rounds_exhaustion_raises(spark):
+    """A silent cap would truncate deep chains undetectably (ADVICE r3):
+    exhausting max_rounds with a non-empty delta must raise."""
+    import pandas as pd
+    import pytest
+
+    chain = [(279, f"Q{i}", f"Q{i + 1}") for i in range(6)]
+    df = spark.createDataFrame(
+        pd.DataFrame(chain, columns=["property_id", "src", "dst"]))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        closure.transitive_closure(df, max_rounds=1)
+    # ...and a sufficient cap converges on the same input
+    assert len(closure.transitive_closure(df, max_rounds=8).collect()) == 21

@@ -208,3 +208,15 @@ class TestRound3Plans:
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
         assert "BroadcastHashJoin" in p  # probes broadcast to the corpus
+
+
+def test_dedup_has_no_rdd_access():
+    """shingles() once probed docs.rdd.getNumPartitions(), materializing
+    RDD lineage on every dedup call (VERDICT r3 nit #4); the partition
+    heuristic must stay plan-free."""
+    import pathlib
+
+    from widiff_spark import dedup as _d
+
+    src = pathlib.Path(_d.__file__).read_text()
+    assert ".rdd" not in src

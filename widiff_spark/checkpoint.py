@@ -27,13 +27,30 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .materialize import N_ENTITY_BUCKETS
+from .materialize import N_ENTITY_BUCKETS, iceberg_catalog, iceberg_identifier
 
 CHECKPOINT_TABLE = "_checkpoints/highwater"
+# Iceberg side uses a plain identifier — the parquet path's '/' would make
+# an unparseable SQL identifier even backtick-quoted per part
+ICEBERG_CHECKPOINT_TABLE = "checkpoints_highwater"
 
 _SCHEMA = ("bucket int, max_commit string, n_input_rows long, "
            "num_pages long, num_revisions long, num_triples long, "
            "run_id string, completed_at double")
+
+
+def _iceberg_ledger_identifier(catalog: str) -> str:
+    return iceberg_identifier(catalog, ICEBERG_CHECKPOINT_TABLE)
+
+
+def _iceberg_merge_sql(catalog: str, updates_view: str) -> str:
+    """MERGE INTO text for the ledger upsert (unit-tested for parseability —
+    the branch never executes in this container, so a malformed identifier
+    would otherwise first surface as a ParseException on a real cluster)."""
+    return (f"MERGE INTO {_iceberg_ledger_identifier(catalog)} t "
+            f"USING {updates_view} s ON t.bucket = s.bucket "
+            f"WHEN MATCHED THEN UPDATE SET * "
+            f"WHEN NOT MATCHED THEN INSERT *")
 
 
 def bucket_col(n_buckets: int = N_ENTITY_BUCKETS):
@@ -45,6 +62,15 @@ def bucket_col(n_buckets: int = N_ENTITY_BUCKETS):
 
 
 def read_checkpoints(spark: SparkSession, path: str) -> DataFrame:
+    # mirror record()'s write-side routing: on an Iceberg cluster the
+    # ledger lives in the catalog, and reading the (never-written) parquet
+    # path would make resume see an empty ledger -> full reprocess per run
+    catalog = iceberg_catalog(spark)
+    if catalog is not None:
+        full = _iceberg_ledger_identifier(catalog)
+        if spark.catalog.tableExists(full):
+            return spark.read.table(full)
+        return spark.createDataFrame([], schema=_SCHEMA)
     try:
         return spark.read.parquet(f"{path}/{CHECKPOINT_TABLE}")
     except Exception:
@@ -128,21 +154,17 @@ def record(spark: SparkSession, path: str, docs: DataFrame,
 
     # Iceberg path: the ledger upsert is a real MERGE INTO (snapshot-
     # isolated, no swap window).  Executes only on clusters with an Iceberg
-    # catalog configured; this container has none, so the parquet swap
-    # below is what runs here.
-    from .materialize import iceberg_catalog
+    # catalog configured; this container has none (COVERAGE.md records the
+    # jar-load attempt), so the parquet swap below is what runs here.
     catalog = iceberg_catalog(spark)
     if catalog is not None:
-        full = f"{catalog}.widiff.{CHECKPOINT_TABLE}"
-        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.widiff")
+        full = _iceberg_ledger_identifier(catalog)
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS `{catalog}`.`widiff`")
         if not spark.catalog.tableExists(full):
             new.select(*new_cols).writeTo(full).using("iceberg").create()
             return
         new.select(*new_cols).createOrReplaceTempView("__ckpt_updates")
-        spark.sql(f"""
-            MERGE INTO {full} t USING __ckpt_updates s ON t.bucket = s.bucket
-            WHEN MATCHED THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *""")
+        spark.sql(_iceberg_merge_sql(catalog, "__ckpt_updates"))
         return
 
     old = read_checkpoints(spark, path)
@@ -166,12 +188,19 @@ def record(spark: SparkSession, path: str, docs: DataFrame,
     # otherwise surface later as a full reprocess with no error.
     fs.delete(HPath(backup_dir), True)  # stale backup from a prior crash
     if fs.exists(HPath(target_dir)):
-        if not fs.rename(HPath(target_dir), HPath(backup_dir)):
+        if not _fs_rename(fs, HPath(target_dir), HPath(backup_dir)):
             raise IOError(f"checkpoint swap: rename {target_dir} -> "
                           f"{backup_dir} failed")
-    if not fs.rename(HPath(staging_dir), HPath(target_dir)):
+    if not _fs_rename(fs, HPath(staging_dir), HPath(target_dir)):
         # restore the previous ledger so readers still see a table
-        fs.rename(HPath(backup_dir), HPath(target_dir))
+        _fs_rename(fs, HPath(backup_dir), HPath(target_dir))
         raise IOError(f"checkpoint swap: rename {staging_dir} -> "
                       f"{target_dir} failed")
     fs.delete(HPath(backup_dir), True)
+
+
+def _fs_rename(fs, src, dst) -> bool:
+    """Module-level seam over FileSystem.rename so the crash-window tests
+    can fail a specific rename (tests/test_checkpoint.py) — the swap logic
+    itself stays identical in production."""
+    return fs.rename(src, dst)

@@ -89,6 +89,7 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
                        F.col("dst").alias("_hop_dst"))
     closure = edges
     delta = edges
+    converged = False
     for _ in range(max_rounds):
         grown = (delta
                  .join(hop, (delta["dst"] == hop["_hop_src"])
@@ -98,8 +99,16 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
                  .distinct())
         delta = grown.join(closure, keys, "left_anti").localCheckpoint()
         if delta.isEmpty():
+            converged = True
             break
         closure = closure.unionByName(delta).localCheckpoint()
+    if not converged:
+        # a silent cap would truncate deep P279/P131 chains undetectably at
+        # full scale — fail loudly and let the caller raise the cap
+        raise RuntimeError(
+            f"transitive_closure did not converge within {max_rounds} "
+            f"rounds (last delta non-empty); raise max_rounds — graph "
+            f"depth exceeds the cap")
     return closure
 
 

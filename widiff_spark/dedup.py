@@ -50,9 +50,16 @@ def shingles(docs: DataFrame, width: int = DEFAULT_SHINGLE) -> DataFrame:
 
     Small inputs (one parquet file -> one scan partition) are spread over
     the cluster first; a 100 TB scan already has enough partitions and
-    skips the repartition."""
+    skips the repartition.  The probe is plan-free (``inputFiles`` reads
+    the scan's file listing from the analyzed plan) — the previous RDD
+    ``getNumPartitions`` probe materialized RDD lineage on every dedup
+    call just to read a number that is always large at scale."""
     sc = docs.sparkSession.sparkContext
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:  # non-file-backed plans (createDataFrame, joins)
+        n_files = 0
+    if 0 < n_files < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
     toks = F.split(_norm_text(F.col("text")), " ")
     n = F.size(toks)

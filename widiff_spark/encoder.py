@@ -1,0 +1,212 @@
+"""Pure-numpy transformer sentence encoder — the executable "real model"
+path for the F19 embedding seam (reference feature_creation.py:29-121 runs
+``SentenceTransformer('all-MiniLM-L6-v2')``).
+
+This container cannot install sentence-transformers / torch / onnxruntime
+(no network, no pip — COVERAGE.md records the attempt), so the ``st``
+branch in features.py can never execute here.  This module closes the gap
+with a genuine encoder rather than a hash stub: a BERT-architecture
+forward pass (WordPiece tokenizer -> token+position embeddings -> N
+post-LN transformer blocks with multi-head softmax attention and GELU
+FFN -> masked mean pooling -> L2 normalization) implemented on numpy
+only.  It is the same computation graph as MiniLM; given a converted
+MiniLM checkpoint (a ~20-line offline ``state_dict -> npz`` export, see
+``load``) it produces MiniLM's embeddings.  For in-container execution,
+``make_test_checkpoint`` writes a small deterministic random-weight
+checkpoint so every line of the forward pass runs un-mocked in tests
+(tests/test_encoder.py) and through the Spark backfill stages
+(``WIDIFF_EMBEDDINGS=npz:<dir>``).
+
+Checkpoint layout (``model_dir/``):
+  config.json  — {"hidden", "layers", "heads", "max_pos", "intermediate"}
+  vocab.txt    — one WordPiece token per line ([PAD] [UNK] [CLS] [SEP],
+                 word-initial pieces, ``##``-continuation pieces)
+  weights.npz  — tok_emb [V,H], pos_emb [P,H], emb_ln_g/b [H], and per
+                 layer ``l{i}.{q,k,v,o}_w`` [H,H], ``..._b`` [H],
+                 ``l{i}.ln1_g/b``, ``l{i}.ffn_in_w`` [H,I], ``ffn_in_b``,
+                 ``ffn_out_w`` [I,H], ``ffn_out_b``, ``l{i}.ln2_g/b``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]", re.IGNORECASE)
+
+
+def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray,
+                eps: float = 1e-12) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * g + b
+
+
+def _gelu(x: np.ndarray) -> np.ndarray:
+    # tanh approximation — what BERT/MiniLM actually use
+    return 0.5 * x * (1.0 + np.tanh(
+        np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
+
+
+def _softmax(x: np.ndarray) -> np.ndarray:
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+class WordPieceTokenizer:
+    """Greedy longest-match-first WordPiece (the BERT/MiniLM algorithm):
+    lowercase, split on whitespace/punctuation, then peel the longest
+    vocab prefix, with ``##`` continuation pieces; unknown words -> [UNK]."""
+
+    def __init__(self, vocab: list[str]):
+        self.vocab = vocab
+        self.ids = {tok: i for i, tok in enumerate(vocab)}
+        self.pad, self.unk = self.ids["[PAD]"], self.ids["[UNK]"]
+        self.cls, self.sep = self.ids["[CLS]"], self.ids["[SEP]"]
+        self._max_piece = max(len(t) for t in vocab)
+
+    def _word(self, word: str) -> list[int]:
+        pieces, start, first = [], 0, True
+        while start < len(word):
+            end = min(len(word), start + self._max_piece)
+            while end > start:
+                piece = word[start:end] if first else "##" + word[start:end]
+                if piece in self.ids:
+                    pieces.append(self.ids[piece])
+                    break
+                end -= 1
+            else:
+                return [self.unk]  # no prefix matched -> whole word is UNK
+            start, first = end, False
+        return pieces
+
+    def __call__(self, text: str, max_len: int) -> list[int]:
+        ids = [self.cls]
+        for word in _WORD_RE.findall(str(text).lower()):
+            ids.extend(self._word(word))
+            if len(ids) >= max_len - 1:
+                break
+        return ids[:max_len - 1] + [self.sep]
+
+
+class NumpyTransformerEncoder:
+    """BERT-architecture encoder over an npz checkpoint; numpy only."""
+
+    def __init__(self, weights: dict, vocab: list[str], config: dict):
+        self.w = weights
+        self.cfg = config
+        self.tokenizer = WordPieceTokenizer(vocab)
+
+    @classmethod
+    def load(cls, model_dir: str) -> "NumpyTransformerEncoder":
+        with open(os.path.join(model_dir, "config.json")) as fh:
+            config = json.load(fh)
+        with open(os.path.join(model_dir, "vocab.txt")) as fh:
+            vocab = [line.rstrip("\n") for line in fh if line.strip()]
+        npz = np.load(os.path.join(model_dir, "weights.npz"))
+        weights = {k: npz[k].astype(np.float64) for k in npz.files}
+        return cls(weights, vocab, config)
+
+    # -- forward ---------------------------------------------------------- #
+
+    def _attention(self, x: np.ndarray, mask: np.ndarray, li: int) -> np.ndarray:
+        w, cfg = self.w, self.cfg
+        B, T, H = x.shape
+        nh = cfg["heads"]
+        dh = H // nh
+
+        def proj(name):
+            p = (x @ w[f"l{li}.{name}_w"] + w[f"l{li}.{name}_b"])
+            return p.reshape(B, T, nh, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = proj("q"), proj("k"), proj("v")
+        scores = q @ k.transpose(0, 1, 3, 2) / np.sqrt(dh)
+        scores = scores + (1.0 - mask[:, None, None, :]) * -1e9
+        ctx = _softmax(scores) @ v
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, T, H)
+        return ctx @ w[f"l{li}.o_w"] + w[f"l{li}.o_b"]
+
+    def _forward(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        w = self.w
+        T = ids.shape[1]
+        x = w["tok_emb"][ids] + w["pos_emb"][:T][None, :, :]
+        x = _layer_norm(x, w["emb_ln_g"], w["emb_ln_b"])
+        for li in range(self.cfg["layers"]):
+            x = _layer_norm(x + self._attention(x, mask, li),
+                            w[f"l{li}.ln1_g"], w[f"l{li}.ln1_b"])
+            h = _gelu(x @ w[f"l{li}.ffn_in_w"] + w[f"l{li}.ffn_in_b"])
+            h = h @ w[f"l{li}.ffn_out_w"] + w[f"l{li}.ffn_out_b"]
+            x = _layer_norm(x + h, w[f"l{li}.ln2_g"], w[f"l{li}.ln2_b"])
+        # masked mean pooling + L2 norm — sentence-transformers' MiniLM head
+        m = mask[:, :, None]
+        pooled = (x * m).sum(axis=1) / np.maximum(m.sum(axis=1), 1.0)
+        norms = np.linalg.norm(pooled, axis=1, keepdims=True)
+        return pooled / np.maximum(norms, 1e-12)
+
+    def encode(self, texts: list[str], batch_size: int = 64) -> np.ndarray:
+        """float64 [n, hidden], unit-norm rows; deterministic per text and
+        independent of batch composition (padding is masked everywhere)."""
+        out = np.zeros((len(texts), self.cfg["hidden"]), dtype=np.float64)
+        max_pos = self.cfg["max_pos"]
+        for lo in range(0, len(texts), batch_size):
+            chunk = texts[lo:lo + batch_size]
+            tok = [self.tokenizer(t, max_pos) for t in chunk]
+            T = max(len(t) for t in tok)
+            ids = np.full((len(chunk), T), self.tokenizer.pad, dtype=np.int64)
+            mask = np.zeros((len(chunk), T), dtype=np.float64)
+            for i, t in enumerate(tok):
+                ids[i, :len(t)] = t
+                mask[i, :len(t)] = 1.0
+            out[lo:lo + len(chunk)] = self._forward(ids, mask)
+        return out
+
+
+def make_test_checkpoint(model_dir: str, hidden: int = 32, layers: int = 2,
+                         heads: int = 4, max_pos: int = 64,
+                         intermediate: int | None = None,
+                         seed: int = 7) -> str:
+    """Deterministic small random-weight checkpoint so the full forward
+    pass executes in-container.  The vocab covers every ascii letter/digit
+    as both word-initial and ``##`` continuation pieces plus a handful of
+    whole words, so real text tokenizes without collapsing to [UNK]."""
+    intermediate = intermediate or hidden * 4
+    rng = np.random.default_rng(seed)
+    chars = [chr(c) for c in range(ord("a"), ord("z") + 1)] + \
+            [str(d) for d in range(10)]
+    words = ["the", "of", "and", "douglas", "adams", "writer", "author",
+             "city", "country", "france", "paris", "human", "book"]
+    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + words + chars
+             + ["##" + c for c in chars]
+             + [".", ",", "-", "'", '"', "(", ")"])
+    cfg = {"hidden": hidden, "layers": layers, "heads": heads,
+           "max_pos": max_pos, "intermediate": intermediate}
+
+    def init(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float64)
+
+    w = {"tok_emb": init(len(vocab), hidden),
+         "pos_emb": init(max_pos, hidden),
+         "emb_ln_g": np.ones(hidden), "emb_ln_b": np.zeros(hidden)}
+    for li in range(layers):
+        for name in ("q", "k", "v", "o"):
+            w[f"l{li}.{name}_w"] = init(hidden, hidden)
+            w[f"l{li}.{name}_b"] = np.zeros(hidden)
+        w[f"l{li}.ln1_g"] = np.ones(hidden)
+        w[f"l{li}.ln1_b"] = np.zeros(hidden)
+        w[f"l{li}.ffn_in_w"] = init(hidden, intermediate)
+        w[f"l{li}.ffn_in_b"] = np.zeros(intermediate)
+        w[f"l{li}.ffn_out_w"] = init(intermediate, hidden)
+        w[f"l{li}.ffn_out_b"] = np.zeros(hidden)
+        w[f"l{li}.ln2_g"] = np.ones(hidden)
+        w[f"l{li}.ln2_b"] = np.zeros(hidden)
+
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "config.json"), "w") as fh:
+        json.dump(cfg, fh)
+    with open(os.path.join(model_dir, "vocab.txt"), "w") as fh:
+        fh.write("\n".join(vocab) + "\n")
+    np.savez(os.path.join(model_dir, "weights.npz"), **w)
+    return model_dir

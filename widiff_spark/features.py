@@ -178,20 +178,37 @@ except ImportError:
 _ST_MODEL = None
 
 
-def _use_st() -> bool:
-    """Feature flag for the real embedding model.
+def _resolve_backend() -> str:
+    """Feature flag for the embedding backend (resolved ON THE DRIVER).
 
-    ``WIDIFF_EMBEDDINGS=stub`` forces the deterministic stub (reproducible
-    CI), ``=st`` forces the real model (raises if the package is missing —
-    a misconfigured cluster should fail loudly, not silently degrade), and
-    the default ``auto`` uses the model iff the package is installed."""
+    ``WIDIFF_EMBEDDINGS=stub`` forces the deterministic sha256 stub
+    (reproducible CI), ``=st`` forces SentenceTransformer (raises if the
+    package is missing — a misconfigured cluster should fail loudly, not
+    silently degrade), ``=npz:<model_dir>`` runs the pure-numpy
+    transformer encoder over that checkpoint (widiff_spark/encoder.py —
+    the real-forward-pass path this container can actually execute), and
+    the default ``auto`` uses SentenceTransformer iff installed."""
     import os
     mode = os.environ.get("WIDIFF_EMBEDDINGS", "auto")
-    if mode == "stub":
-        return False
-    if mode == "st":
-        return True
-    return _HAS_ST
+    if mode in ("stub", "st") or mode.startswith("npz:"):
+        return mode
+    return "st" if _HAS_ST else "stub"
+
+
+def _use_st() -> bool:
+    return _resolve_backend() == "st"
+
+
+_NPZ_MODELS: dict[str, object] = {}
+
+
+def _npz_model(model_dir: str):
+    """One encoder per (worker) process per checkpoint dir, lazily — same
+    lifecycle as _st_model."""
+    if model_dir not in _NPZ_MODELS:
+        from .encoder import NumpyTransformerEncoder
+        _NPZ_MODELS[model_dir] = NumpyTransformerEncoder.load(model_dir)
+    return _NPZ_MODELS[model_dir]
 
 
 def _st_model():
@@ -205,26 +222,36 @@ def _st_model():
 
 
 def embed_texts(texts: list[str], dim: int = 16,
-                use_st: bool | None = None) -> np.ndarray:
+                use_st: bool | None = None,
+                backend: str | None = None) -> np.ndarray:
     """Batch text embedding.
 
-    Real path: ``SentenceTransformer('all-MiniLM-L6-v2').encode`` (reference
-    feature_creation.py:1248).  STUB path (this container): deterministic
-    sha256 projection to a unit vector — keeps batch shape/normalization
-    semantics identical so the Spark plumbing is fully exercised.  Both
-    paths honor one contract (tests/test_embedding_contract.py): float
-    ndarray of shape (len(texts), d), NaN-free, deterministic per text.
+    Backends: ``st`` — ``SentenceTransformer('all-MiniLM-L6-v2').encode``
+    (reference feature_creation.py:1248; package absent in this container);
+    ``npz:<dir>`` — the pure-numpy transformer encoder
+    (widiff_spark/encoder.py), a genuine BERT-architecture forward pass
+    executed un-mocked in tests; ``stub`` — deterministic sha256 projection
+    to a unit vector (keeps batch shape/normalization semantics identical
+    so the Spark plumbing is fully exercised).  All paths honor one
+    contract (tests/test_embedding_contract.py): float ndarray of shape
+    (len(texts), d), NaN-free, deterministic per text.
 
-    ``use_st``: the caller's resolved flag.  The backfill stages resolve it
-    ON THE DRIVER (``_use_st()``) and close over the decision — executor
-    processes never see the driver's environment, so reading the env var
-    here would silently degrade a forced ``WIDIFF_EMBEDDINGS=st`` to the
-    stub on every worker (verified live).
+    ``backend``/``use_st``: the caller's resolved flag.  The backfill
+    stages resolve it ON THE DRIVER (``_resolve_backend()``) and close
+    over the decision — executor processes never see the driver's
+    environment, so reading the env var here would silently degrade a
+    forced ``WIDIFF_EMBEDDINGS=st`` to the stub on every worker
+    (verified live).
     """
-    if use_st is None:
-        use_st = _use_st()
-    if use_st:  # pragma: no cover - exercised via the contract-test fake
+    if backend is None:
+        if use_st is not None:  # legacy bool seam, kept for callers/tests
+            backend = "st" if use_st else "stub"
+        else:
+            backend = _resolve_backend()
+    if backend == "st":  # pragma: no cover - exercised via contract fake
         return np.asarray(_st_model().encode(list(texts)), dtype=np.float64)
+    if backend.startswith("npz:"):
+        return _npz_model(backend[4:]).encode([str(t) for t in texts])
     out = np.zeros((len(texts), dim), dtype=np.float64)
     for i, t in enumerate(texts):
         digest = hashlib.sha256(str(t).encode("utf-8")).digest()
@@ -335,7 +362,7 @@ def backfill_entity_features(features_entity: DataFrame,
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in todo.schema.fields
         if not f.name.startswith("_"))
-    use_st = _use_st()  # resolved on the driver; workers inherit the closure
+    backend = _resolve_backend()  # driver-side; workers inherit the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -348,14 +375,14 @@ def backfill_entity_features(features_entity: DataFrame,
                     zip(pdf["old_value_label"], pdf["new_value_label"],
                         pdf["_old_qid"], pdf["_new_qid"])]
                 old_lab = embed_texts(list(pdf["old_value_label"]),
-                                      use_st=use_st)
+                                      backend=backend)
                 new_lab = embed_texts(list(pdf["new_value_label"]),
-                                      use_st=use_st)
+                                      backend=backend)
                 pdf["label_cosine_similarity"] = _cosine(old_lab, new_lab)
                 old_d = embed_texts(list(pdf["old_value_description"]),
-                                    use_st=use_st)
+                                    backend=backend)
                 new_d = embed_texts(list(pdf["new_value_description"]),
-                                    use_st=use_st)
+                                    backend=backend)
                 pdf["description_cosine_similarity"] = _cosine(old_d, new_d)
                 pdf["processed"] = True
             yield pdf[[c for c in pdf.columns if not c.startswith("_")]]
@@ -371,15 +398,15 @@ def backfill_text_features(features_text: DataFrame) -> DataFrame:
     done = features_text.filter(F.col("processed"))
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in todo.schema.fields)
-    use_st = _use_st()  # resolved on the driver; workers inherit the closure
+    backend = _resolve_backend()  # driver-side; workers inherit the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
                 old = embed_texts([str(v).replace('"', "")
-                                   for v in pdf["old_value"]], use_st=use_st)
+                                   for v in pdf["old_value"]], backend=backend)
                 new = embed_texts([str(v).replace('"', "")
-                                   for v in pdf["new_value"]], use_st=use_st)
+                                   for v in pdf["new_value"]], backend=backend)
                 pdf["value_cosine_similarity"] = _cosine(old, new)
                 pdf["processed"] = True
             yield pdf

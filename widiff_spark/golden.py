@@ -34,8 +34,6 @@ from datetime import datetime
 import numpy as np
 import pandas as pd
 
-from cleanroom import features as CF, replay_corpus
-
 from . import fixtures
 from .canonical import WD_ENTITY_TYPES, WD_STRING_TYPES
 from .config import DEFAULT_CONFIG, PipelineConfig
@@ -69,6 +67,10 @@ def diff_tables(corpus: pd.DataFrame,
     """Cleanroom replay of the corpus: namespace filter, per-page diff,
     revert tagging — zero engine code (see module docstring).  Returns the
     five change tables + entity_stats + quarantine as plain pandas."""
+    # lazy: importing widiff_spark.golden must not require the cleanroom
+    # package (the addPyFile zip ships engine + cleanroom, but external zip
+    # consumers may strip it; only *running* the oracle needs it)
+    from cleanroom import replay_corpus
     clean = replay_corpus(
         corpus.to_dict("records"),
         re_interpretation=config.re_interpretation,
@@ -175,6 +177,7 @@ def _update_rows(vc: pd.DataFrame) -> pd.DataFrame:
 
 
 def feature_frames(value_change: pd.DataFrame) -> dict[str, pd.DataFrame]:
+    from cleanroom import features as CF
     upd = _update_rows(value_change)
 
     def battery(rows: pd.DataFrame, fn, cols: list[str],

@@ -77,18 +77,30 @@ def _catalog_from_confs(confs) -> str | None:
     return None
 
 
+def iceberg_identifier(catalog: str, table: str,
+                       namespace: str = "widiff") -> str:
+    """Fully-qualified Iceberg identifier with each part backtick-quoted —
+    table names derived from paths (e.g. '_checkpoints/highwater') would
+    otherwise be unparseable SQL identifiers."""
+    return ".".join(f"`{p}`" for p in (catalog, namespace, table))
+
+
 def _write_iceberg(df: DataFrame, catalog: str, table: str,
-                   partition_cols: list[str],
+                   partition_cols: list[str], mode: str = "overwrite",
                    namespace: str = "widiff") -> None:
-    """Iceberg sink: create-on-first-write, then ``overwritePartitions`` —
-    the exactly-once redo-unit contract write_table documents, with
-    snapshot isolation from the table format.  Executes only on clusters
-    with an Iceberg catalog configured (see module docstring)."""
+    """Iceberg sink: create-on-first-write, then ``overwritePartitions``
+    (or ``append`` when mode='append') — the exactly-once redo-unit
+    contract write_table documents, with snapshot isolation from the table
+    format.  Executes only on clusters with an Iceberg catalog configured
+    (see module docstring)."""
     spark = df.sparkSession
-    full = f"{catalog}.{namespace}.{table}"
-    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+    full = iceberg_identifier(catalog, table, namespace)
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS `{catalog}`.`{namespace}`")
     if spark.catalog.tableExists(full):
-        df.writeTo(full).overwritePartitions()
+        if mode == "append":
+            df.writeTo(full).append()
+        else:
+            df.writeTo(full).overwritePartitions()
     else:
         writer = df.writeTo(full).using("iceberg")
         if partition_cols:
@@ -98,8 +110,11 @@ def _write_iceberg(df: DataFrame, catalog: str, table: str,
 
 def write_table(df: DataFrame, path: str, table: str,
                 partition_cols: list[str] | None = None,
-                mode: str = "overwrite") -> None:
-    """Idempotent partitioned write with PK dedup.
+                mode: str = "overwrite") -> str:
+    """Idempotent partitioned write with PK dedup.  Returns the location
+    the table was actually written to — a catalog identifier on Iceberg
+    clusters, a parquet path otherwise — so callers never hand out paths
+    that were never written.
 
     Routes to the Iceberg catalog when one is configured; otherwise plain
     parquet with dynamic partition overwrite, so re-running a subset of
@@ -123,23 +138,28 @@ def write_table(df: DataFrame, path: str, table: str,
             partition_cols.append("entity_bucket")
     catalog = iceberg_catalog(df.sparkSession)
     if catalog is not None:
-        _write_iceberg(df, catalog, table, partition_cols)
-        return
+        _write_iceberg(df, catalog, table, partition_cols, mode)
+        return iceberg_identifier(catalog, table)
     writer = (df.write.mode(mode)
               .option("partitionOverwriteMode", "dynamic"))
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(f"{path}/{table}")
+    return f"{path}/{table}"
 
 
 def read_table(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Read back a table written by write_table — from the Iceberg catalog
+    when one is configured (mirroring the write-side routing; a
+    parquet-path read on an Iceberg cluster would see stale or absent
+    data), else the parquet path."""
+    catalog = iceberg_catalog(spark)
+    if catalog is not None:
+        return spark.read.table(iceberg_identifier(catalog, table))
     return spark.read.parquet(f"{path}/{table}")
 
 
 def materialize_all(tables: dict[str, DataFrame], path: str) -> dict[str, str]:
-    """Write every pipeline table; returns {table: location}."""
-    locations = {}
-    for name, df in tables.items():
-        write_table(df, path, name)
-        locations[name] = f"{path}/{name}"
-    return locations
+    """Write every pipeline table; returns {table: actual location}."""
+    return {name: write_table(df, path, name)
+            for name, df in tables.items()}

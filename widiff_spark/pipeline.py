@@ -159,8 +159,8 @@ def run_incremental(spark: SparkSession, docs: DataFrame, output_path: str,
     wanted = tables or (CHANGE_TABLES + ["entity_stats"])
     locations = {}
     for name in wanted:
-        materialize.write_table(res.tables[name], output_path, name)
-        locations[name] = f"{output_path}/{name}"
+        locations[name] = materialize.write_table(
+            res.tables[name], output_path, name)
     lineage = checkpoint.lineage_from_unified(res.unified)
     checkpoint.record(spark, output_path, docs, lineage, run_id,
                       buckets=todo)
