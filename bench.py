@@ -14,6 +14,15 @@ derived from the sf documents table, replicated xREPEAT for volume.
 The reference's implied throughput is ~280 revisions/sec pipeline-wide on
 11 cores (BASELINE.md); two-parallelism scaling evidence lives in
 BENCH/BASELINE.md (scripts/scaling_bench.py).
+
+EVERY recorded line is best-of-N (default 2, env WIDIFF_BENCH_ATTEMPTS):
+the driver runs this bench on a shared host, and a single timed pass
+cannot tell host steal from an engine regression (BENCH_r02 recorded
+160.8 s for a headline that repeats at ~82 s idle; BENCH_r03 recorded
+30.1 s for an entity-stats line that repeats at ~12 s).  Each attempt
+re-executes the full lineage — nothing in these queries caches across
+calls (the one internal persist, minhash's shingle table, is scoped to
+the call and unpersisted before it returns).
 """
 
 from __future__ import annotations
@@ -31,6 +40,20 @@ from widiff_spark.pipeline import build_session, run_pipeline, triples  # noqa: 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPEAT = int(os.environ.get("WIDIFF_BENCH_REPEAT", "24"))
+ATTEMPTS = int(os.environ.get("WIDIFF_BENCH_ATTEMPTS", "2"))
+
+timings: dict[str, float] = {}
+
+
+def best_of(name: str, fn, attempts: int = ATTEMPTS) -> None:
+    """Record the minimum wall time of `attempts` full re-executions."""
+    best = None
+    for _ in range(attempts):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    timings[name] = round(best, 3)
 
 
 def main() -> None:
@@ -38,7 +61,6 @@ def main() -> None:
                           shuffle_partitions=max(CPUS * 2, 32))
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     t_total = time.time()
 
@@ -67,20 +89,16 @@ def main() -> None:
         .write.mode("overwrite").parquet(f"{workdir}/corpus")
     timings["corpus_gen"] = round(time.time() - t0, 3)
 
-    # best-of-2 inside the same JVM: the driver runs this bench on a shared
-    # host, and a single timed pass cannot tell host steal from an engine
-    # regression (BENCH_r02 recorded 160.8 s for a run that repeats at
-    # ~82 s on an idle machine).  The loser's cache is dropped.
     docs = spark.read.parquet(f"{workdir}/corpus")
     res = kg_sec = None
-    for _attempt in range(2):
+    for _attempt in range(ATTEMPTS):
         if res is not None:
             # drop the previous attempt's cache FIRST: Spark's CacheManager
             # matches by logical plan, so an identical rerun would otherwise
             # read the cached unified table and measure nothing
             res.unpersist()
         t0 = time.time()
-        res = run_pipeline(spark, docs)
+        res = run_pipeline(spark, docs, mode="grouped")
         n_triples = triples(res.tables["value_change"]).count()
         n_revisions = res.tables["revision"].count()
         dt = time.time() - t0
@@ -91,16 +109,38 @@ def main() -> None:
     extras["triples_per_sec"] = round(n_triples / kg_sec, 1)
     extras["revisions_per_sec"] = round(n_revisions / kg_sec, 1)
 
+    # the mode='auto' probe, recorded separately so its cost is visible
+    # (run_pipeline above pins mode='grouped' to keep the headline pure)
+    from widiff_spark.pipeline import probe_max_page_revisions
+    best_of("kg_auto_probe", lambda: probe_max_page_revisions(docs))
+
     # entity stats + cohort routing on top of the persisted diff
-    t0 = time.time()
-    res.tables["entity_stats"].groupBy("cohort").count().collect()
-    timings["kg_entity_stats"] = round(time.time() - t0, 3)
+    best_of("kg_entity_stats", lambda: res.tables["entity_stats"]
+            .groupBy("cohort").count().collect())
 
     # feature batteries over the persisted change stream
-    t0 = time.time()
-    res.tables["features_text"].count()
-    res.tables["features_quantity"].count()
-    timings["kg_features"] = round(time.time() - t0, 3)
+    def _features():
+        res.tables["features_text"].count()
+        res.tables["features_quantity"].count()
+    best_of("kg_features", _features)
+
+    # transitive-closure builder over the persisted change stream + the
+    # documents-derived multi-hop hierarchy (round-3 operator)
+    from widiff_spark import closure as _closure
+
+    def _tc():
+        edges = _closure.live_edges(res.tables["value_change"]) \
+            .unionByName(_closure.hierarchy_edges(spark, SF_DIR))
+        _closure.transitive_closure(edges).count()
+    best_of("kg_transitive_closure", _tc)
+
+    # entity label/alias/description dim extractor — includes its own parse
+    # pass (the extractor is a dump-level tool; reference runs it as a
+    # separate single-JVM pass over the whole dump)
+    from widiff_spark import extractors as _extractors, parse as _parse
+    best_of("kg_entity_labels", lambda: _extractors.entity_labels(
+        _parse.parse_documents(docs)).count())
+
     res.unpersist()
     shutil.rmtree(workdir, ignore_errors=True)
     # the KG stage's cached blocks otherwise squeeze the dedup stages'
@@ -111,34 +151,31 @@ def main() -> None:
     docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
-    t0 = time.time()
-    dedup.minhash_near_duplicates(docs_tbl, min_jaccard=0.5).count()
-    timings["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+    best_of("dedup_minhash_lsh",
+            lambda: dedup.minhash_near_duplicates(docs_tbl,
+                                                  min_jaccard=0.5).count())
+    best_of("dedup_ngram_jaccard",
+            lambda: dedup.minhash_near_duplicates(docs_tbl,
+                                                  min_jaccard=0.8).count())
+    best_of("dedup_simhash_pairs",
+            lambda: dedup.simhash_near_duplicates(docs_tbl,
+                                                  max_hamming=1).count())
 
-    t0 = time.time()
-    dedup.minhash_near_duplicates(docs_tbl, min_jaccard=0.8).count()
-    timings["dedup_ngram_jaccard"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    dedup.simhash_near_duplicates(docs_tbl, max_hamming=1).count()
-    timings["dedup_simhash_pairs"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
     queries = emb.filter("vec_id < 20").selectExpr(
         "vec_id as query_id", "embedding")
-    similarity.knn_bruteforce(emb, queries, k=10).count()
-    timings["ann_knn_bruteforce"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    similarity.knn_lsh(emb, queries, dim=64, k=10, n_planes=4).count()
-    timings["ann_knn_lsh"] = round(time.time() - t0, 3)
+    best_of("ann_knn_bruteforce",
+            lambda: similarity.knn_bruteforce(emb, queries, k=10).count())
+    best_of("ann_knn_lsh",
+            lambda: similarity.knn_lsh(emb, queries, dim=64, k=10,
+                                       n_planes=4).count())
+    best_of("ann_knn_lsh_multi",
+            lambda: similarity.knn_lsh_tables(emb, queries, dim=64, k=10,
+                                              n_planes=4, n_tables=6).count())
 
     # -- relational suite over the big fact table --------------------------
     for name in ["rel_pricing_summary", "rel_broadcast_join",
                  "rel_window_lag", "rel_snapshot_diff"]:
-        t0 = time.time()
-        relops.QUERIES[name](spark, SF_DIR).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best_of(name, lambda n=name: relops.QUERIES[n](spark, SF_DIR).collect())
 
     total = round(time.time() - t_total, 3)
     out = {
@@ -149,6 +186,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "bench_repeat": REPEAT,
+        "bench_attempts": ATTEMPTS,
         **extras,
     }
     print(json.dumps(out))

@@ -65,9 +65,42 @@ class PipelineResult:
     split reads the diff output once instead of re-running the UDF."""
     unified: DataFrame
     tables: dict[str, DataFrame] = field(default_factory=dict)
+    mode: str = "grouped"          # execution mode actually chosen
+    max_page_revisions: int = 0    # the auto probe's measurement (0 = not probed)
 
     def unpersist(self):
         self.unified.unpersist()
+
+
+# mode='auto' flips to the salted (pair-parallel) diff when any single page
+# carries more revisions than this.  Measured crossover at local[32]
+# (scripts/skew_crossover.py; full table in BENCH/BASELINE.md):
+# salted/grouped wall ratio 2.8x @1k-rev hot page, 1.04x @32k, 0.56x @48k,
+# 0.54x @64k -> local crossover ~35-40k.  On a multi-executor cluster the
+# grouped mode's hot-page task bounds the whole stage (idle executors), so
+# salted wins even earlier; 40k is therefore a conservative default.
+# Override per-cluster with WIDIFF_SKEW_THRESHOLD.
+def _auto_threshold() -> int:
+    import os
+    return int(os.environ.get("WIDIFF_SKEW_THRESHOLD", "40000"))
+
+
+def probe_max_page_revisions(docs: DataFrame) -> int:
+    """Max revisions on any single page — ONE cheap aggregation over the
+    raw (repo, path) columns (column-pruned scan + partial map-side count;
+    no parse, no Python).  This is the skew statistic that decides the
+    diff execution mode."""
+    row = (docs.groupBy("repo", "path").count()
+           .agg(F.max("count").alias("m")).collect()[0])
+    return int(row["m"] or 0)
+
+
+def choose_mode(docs: DataFrame, threshold: int | None = None) -> tuple[str, int]:
+    """('grouped'|'salted', max_page_revisions) — salted iff some page
+    exceeds the skew threshold."""
+    t = threshold if threshold is not None else _auto_threshold()
+    hot = probe_max_page_revisions(docs)
+    return ("salted" if hot > t else "grouped"), hot
 
 
 def run_pipeline(spark: SparkSession, docs: DataFrame,
@@ -76,12 +109,17 @@ def run_pipeline(spark: SparkSession, docs: DataFrame,
                  astronomical: DataFrame | None = None,
                  scholarly: DataFrame | None = None,
                  persist: bool = True,
-                 mode: str = "grouped") -> PipelineResult:
-    """``mode='grouped'`` (default): per-page applyInPandas replay — minimal
-    shuffle, right for balanced corpora.  ``mode='salted'``: pair-parallel
-    diff (salted.py) — immune to hot-page skew, one extra window shuffle;
+                 mode: str = "auto") -> PipelineResult:
+    """``mode='auto'`` (default): probe max-revisions-per-page and pick.
+    ``mode='grouped'``: per-page applyInPandas replay — minimal shuffle,
+    right for balanced corpora.  ``mode='salted'``: pair-parallel diff
+    (salted.py) — immune to hot-page skew, one extra window shuffle;
     row-identical output (tests/test_salted_parity.py)."""
     from . import fixtures
+
+    max_page_revisions = 0
+    if mode == "auto":
+        mode, max_page_revisions = choose_mode(docs)
 
     property_labels = property_labels or fixtures.property_labels_df(spark)
     astronomical = astronomical if astronomical is not None \
@@ -134,7 +172,8 @@ def run_pipeline(spark: SparkSession, docs: DataFrame,
                 tables["value_change"]).items():
             tables[fname] = fdf
 
-    return PipelineResult(unified=unified, tables=tables)
+    return PipelineResult(unified=unified, tables=tables, mode=mode,
+                          max_page_revisions=max_page_revisions)
 
 
 def run_incremental(spark: SparkSession, docs: DataFrame, output_path: str,

@@ -40,8 +40,10 @@ is the revert scan of one (property, value) history — bounded by the 4-week
 window since revert.py's early exit.  On one shared box the shuffle tax
 outweighs the spread; on a real cluster the grouped mode's hot-page task
 bounds the whole stage (minutes of idle executors at 10^12 scale) while
-salted's critical path is the window-bounded tag scan only.  Default stays
-grouped; flip ``run_pipeline(mode='salted')`` when page skew bounds the job.
+salted's critical path is the window-bounded tag scan only.  Round 4:
+``run_pipeline(mode='auto')`` (the default) probes max-revisions-per-page
+and flips to this mode above WIDIFF_SKEW_THRESHOLD (default 40k — the
+measured local[32] crossover; BENCH/BASELINE.md round-4 section).
 """
 
 from __future__ import annotations

@@ -129,8 +129,13 @@ def knn_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
     bucket plus the ``n_planes`` buckets one sign-flip away (explode the
     probe list, equi-join on the sketch — still no cartesian; candidate cost
     is (n_planes + 1) buckets per query).  Single-bucket probing measured
-    16% recall@5 on the driver corpus; multi-probe lifts it to 56% while
-    the exact baseline (knn_bruteforce) stays the quality oracle.
+    16% recall@5 on the driver corpus; multi-probe lifts it to ~53-56%.
+
+    THIS IS THE COST-FLOOR POINT of the published recall/cost curve
+    (BENCH/BASELINE.md: 1/2/4/6/8 tables -> 53/77/94/99/100% recall@5 at
+    linear candidate cost).  For production recall use ``knn_lsh_tables``
+    (6 tables, 99%) — same plan shape, n_tables x the candidates; the
+    exact baseline (knn_bruteforce) stays the quality oracle.
 
     Recall < 1 by construction — the documented ANN trade."""
     corpus = lsh_sketch(embeddings, dim, n_planes)
