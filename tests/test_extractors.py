@@ -72,3 +72,60 @@ def test_entity_labels_matches_cleanroom_on_adversarial_corpus(spark):
         c = clean[qid]
         assert (r.label, r.alias, r.description) == \
             (c["label"], c["alias"], c["description"]), qid
+
+
+class TestPropertyLabels:
+    """PropertyDocument half of ExtractLabelsProperties (round 4): the
+    namespace-filtered parse + last-non-empty aggregate over P-pages."""
+
+    def test_property_dim_from_corpus(self, spark):
+        from widiff_spark import extractors, fixtures, parse
+
+        parsed = parse.parse_documents(
+            fixtures.property_pages_corpus(spark), namespace="property")
+        dim = extractors.property_labels(parsed).toPandas() \
+            .set_index("numeric_id")
+        assert (dim.loc[31, "label"] == "instance of"
+                and dim.loc[31, "alias"] == "instance of alt"
+                and dim.loc[31, "description"] == "property P31")
+        # every positive property present exactly once
+        expected = sorted(p for p in fixtures.PROPERTY_LABELS if p > 0)
+        assert sorted(dim.index) == expected
+        assert (dim.loc[expected, "label"]
+                == [fixtures.PROPERTY_LABELS[p] for p in expected]).all()
+
+    def test_empty_middle_label_does_not_clobber(self, spark):
+        """The generator's middle revision has NO label (only description):
+        under last-non-empty the final label must win and the middle
+        description must survive the label-bearing final revision."""
+        import pandas as pd
+
+        from widiff_spark import extractors, fixtures, parse
+
+        rows = [
+            fixtures.row("P77", 10, fixtures.content(
+                10, fixtures._ts(0), label="first")),
+            fixtures.row("P77", 11, fixtures.content(
+                11, fixtures._ts(1), desc="only desc")),
+        ]
+        parsed = parse.parse_documents(
+            spark.createDataFrame(pd.DataFrame(rows),
+                                  schema=fixtures.DOCUMENTS_SCHEMA),
+            namespace="property")
+        dim = extractors.property_labels(parsed).collect()[0]
+        assert dim.label == "first" and dim.description == "only desc"
+
+    def test_namespace_filter_separates_item_and_property(self, spark):
+        import pandas as pd
+
+        from widiff_spark import fixtures, parse
+
+        rows = [fixtures.row("Q1", 1, fixtures.content(1, fixtures._ts(0),
+                                                       label="item")),
+                fixtures.row("P1", 2, fixtures.content(2, fixtures._ts(0),
+                                                       label="prop"))]
+        docs = spark.createDataFrame(pd.DataFrame(rows),
+                                     schema=fixtures.DOCUMENTS_SCHEMA)
+        assert parse.parse_documents(docs).select("path").collect()[0][0] == "Q1"
+        assert parse.parse_documents(docs, namespace="property") \
+            .select("path").collect()[0][0] == "P1"

@@ -239,3 +239,97 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 2,
     return (cand.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+# --------------------------------------------------------------------------- #
+# near-duplicate clusters: distributed connected components + keep-list
+# --------------------------------------------------------------------------- #
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., SoCC'14 "Connected Components in
+    MapReduce and Beyond"): for every node u, connect each strictly-larger
+    neighbor to the minimum of N(u) ∪ {u}."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("u"))
+    return (sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges toward the smaller endpoint; for every
+    node u, connect all smaller neighbors (and u) to min(N(u) ∪ {u})."""
+    o = (e.select(F.greatest("u", "v").alias("u"),
+                  F.least("u", "v").alias("v"))
+         .where(F.col("u") != F.col("v")).distinct())
+    mins = o.groupBy("u").agg(F.min("v").alias("_mn"))  # _mn < u by orient
+    nb = o.join(mins, "u")
+    out = (nb.select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+           .unionByName(nb.select("u", F.col("_mn").alias("v"))))
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_rounds: int = 20) -> DataFrame:
+    """Connected components over a pair table via alternating large-star /
+    small-star contraction — the O(log n)-round distributed algorithm
+    (Kiveris et al., SoCC'14), so a 100 TB near-dup graph converges in a
+    bounded number of shuffles regardless of component diameter (plain
+    min-label propagation needs diameter rounds — a chain of pairwise-
+    near-dup shards would serialize it).
+
+    Returns (node, component) with component = min node id in the
+    component; only nodes that appear in ``pairs`` are returned (callers
+    join back to the full corpus and default singletons to themselves).
+    Like closure.py, convergence is *checked*: exhausting ``max_rounds``
+    raises instead of returning a half-contracted graph."""
+    e = (pairs.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+         .where(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint())
+    for _ in range(max_rounds):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # converged when the star-edge set is stable (both sides distinct,
+        # so one anti-join each way decides set equality)
+        if e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty():
+            e = e2
+            break
+        e = e2
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            f"rounds; raise max_rounds")
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    return (e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+            .unionByName(roots).distinct())
+
+
+def duplicate_components(docs: DataFrame, min_jaccard: float = 0.5,
+                         k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+                         width: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Near-duplicate clusters + canonical keep-list — the step every
+    training-data pipeline runs after pair generation: MinHash+LSH pairs
+    -> connected components -> one row per document with its cluster id,
+    cluster size, and the keep flag (canonical = min doc_id, matching
+    exact_duplicates' winner rule).
+
+    Returns (doc_id, component_id, component_size, is_canonical)."""
+    pairs = minhash_near_duplicates(docs, min_jaccard, k, bands, width)
+    comp = connected_components(pairs)
+    assigned = (docs.select("doc_id")
+                .join(comp.withColumnRenamed("node", "doc_id"),
+                      "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("component", F.col("doc_id").cast("long"))
+                        .alias("component_id")))
+    sizes = assigned.groupBy("component_id").agg(
+        F.count("*").alias("component_size"))
+    return (assigned.join(sizes, "component_id")
+            .select("doc_id", "component_id", "component_size",
+                    (F.col("doc_id") == F.col("component_id"))
+                    .alias("is_canonical")))

@@ -74,3 +74,26 @@ def type_pairs(value_change: DataFrame,
         F.col("dst").alias("entity_type"),
         F.expr("CAST(substring(dst, 2) AS LONG)")
          .alias("entity_type_numeric_id"))
+
+
+def property_labels(parsed: DataFrame) -> DataFrame:
+    """Per-property (pid, numeric_id, label, alias, description) dim — the
+    PropertyDocument half of the reference's label extractor
+    (ExtractLabelsProperties.java:87-110), previously consumed as a
+    pre-extracted CSV side input.  Same last-non-empty-by-commit aggregate
+    as entity_labels, over a ``parse_documents(..., namespace='property')``
+    stream (paths shaped ``P<digits>``)."""
+    lab = F.get_json_object("snapshot", "$.label")
+    ali = F.get_json_object("snapshot", "$.alias")
+    des = F.get_json_object("snapshot", "$.description")
+    return (parsed
+            .groupBy("repo", "path", "entity_id")
+            .agg(_last_nonempty(lab).alias("_l"),
+                 _last_nonempty(ali).alias("_a"),
+                 _last_nonempty(des).alias("_d"))
+            .select("repo",
+                    F.col("path").alias("pid"),
+                    F.col("entity_id").alias("numeric_id"),
+                    F.coalesce("_l", F.lit("")).alias("label"),
+                    F.coalesce("_a", F.lit("")).alias("alias"),
+                    F.coalesce("_d", F.lit("")).alias("description")))

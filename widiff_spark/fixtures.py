@@ -655,3 +655,26 @@ def corpus_from_documents(spark: SparkSession, sf_dir: str,
     n_parts = max(spark.sparkContext.defaultParallelism * 4, 16)
     return docs.repartition(n_parts).mapInPandas(_corpus_batches,
                                                  schema=DOCUMENTS_SCHEMA)
+
+
+def property_pages_corpus(spark: SparkSession) -> DataFrame:
+    """Deterministic property-namespace corpus (paths ``P<digits>``) for the
+    PropertyDocument half of ExtractLabelsProperties: three revisions per
+    property in PROPERTY_LABELS — draft label, then an empty-label revision
+    carrying the description (must NOT clobber the label under
+    last-non-empty), then the final label + alias.  Expected dim is
+    analytically known, so the DuckDB oracle re-derives it from the same
+    inlined (pid, label) list without executing any engine code."""
+    rows = []
+    for pid, label in sorted(PROPERTY_LABELS.items()):
+        if pid <= 0:
+            continue  # -1/-2 are re-interpretation pseudo-properties
+        path = f"P{pid}"
+        base = 900000 + pid * 10
+        rows.append(row(path, base, content(
+            base, _ts(0), label=f"{label} (draft)")))
+        rows.append(row(path, base + 1, content(
+            base + 1, _ts(1), desc=f"property P{pid}")))
+        rows.append(row(path, base + 2, content(
+            base + 2, _ts(2), label=label, aliases=[f"{label} alt"])))
+    return spark.createDataFrame(pd.DataFrame(rows), schema=DOCUMENTS_SCHEMA)

@@ -207,14 +207,19 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                   "entity_id": "Int64"})
 
 
-def parse_documents(docs: DataFrame) -> DataFrame:
+_NAMESPACE_RES = {"item": r"^Q\d+$", "property": r"^P\d+$"}
+
+
+def parse_documents(docs: DataFrame, namespace: str = "item") -> DataFrame:
     """Versioned-document table -> parsed revision table.
 
-    Applies the namespace filter first (keep item pages only — paths shaped
-    ``Q<digits>``; reference file_parser.py:326-329) so the predicate is
-    pushed to the scan, then digests each revision Arrow-batch-wise.
-    """
-    filtered = docs.filter(F.col("path").rlike(r"^Q\d+$"))
+    Applies the namespace filter first (default: keep item pages only —
+    paths shaped ``Q<digits>``; reference file_parser.py:326-329) so the
+    predicate is pushed to the scan, then digests each revision
+    Arrow-batch-wise.  ``namespace='property'`` admits ``P<digits>`` pages
+    instead — the PropertyDocument pass of the reference's
+    ExtractLabelsProperties dump tool (extractors.property_labels)."""
+    filtered = docs.filter(F.col("path").rlike(_NAMESPACE_RES[namespace]))
     return filtered.mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
 
 
