@@ -160,6 +160,13 @@ def main() -> None:
     best_of("dedup_simhash_pairs",
             lambda: dedup.simhash_near_duplicates(docs_tbl,
                                                   max_hamming=1).count())
+    best_of("dedup_components",
+            lambda: dedup.duplicate_components(docs_tbl,
+                                               min_jaccard=0.5).count())
+
+    from widiff_spark import sampling
+    best_of("sample_stratified",
+            lambda: sampling.stratified_sample(docs_tbl, "lang", 20).count())
 
     queries = emb.filter("vec_id < 20").selectExpr(
         "vec_id as query_id", "embedding")

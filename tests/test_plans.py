@@ -220,3 +220,45 @@ def test_dedup_has_no_rdd_access():
 
     src = pathlib.Path(_d.__file__).read_text()
     assert ".rdd" not in src
+
+
+class TestRound4Plans:
+    def test_star_rounds_are_equijoins(self, spark):
+        """Each large-star/small-star round is a hash aggregate + an
+        equi-join on the node key — never a cartesian; the round input is
+        localCheckpointed so the plan stays flat across iterations."""
+        import pandas as pd
+
+        from widiff_spark import dedup
+
+        pairs = spark.createDataFrame(
+            pd.DataFrame({"doc_a": [1, 2, 3], "doc_b": [2, 3, 4]}))
+        e = (pairs.selectExpr("CAST(doc_a AS LONG) u", "CAST(doc_b AS LONG) v")
+             .localCheckpoint())
+        for stage in (dedup._large_star(e), dedup._small_star(e)):
+            p = plan(stage)
+            assert "CartesianProduct" not in p
+            assert "BroadcastNestedLoopJoin" not in p
+
+    def test_property_namespace_filter_below_parse_udf(self, spark, tmp_path):
+        """The P-namespace rlike must reach the scan, below the decode UDF,
+        same as the item filter (a post-UDF filter would decode every
+        page first)."""
+        from widiff_spark import parse
+
+        path = str(tmp_path / "pdocs")
+        fixtures.property_pages_corpus(spark) \
+            .write.mode("overwrite").parquet(path)
+        p = plan(parse.parse_documents(spark.read.parquet(path),
+                                       namespace="property"))
+        assert "rlike" in p.lower() or "RLIKE" in p
+        assert node_id(p, "Scan parquet") < node_id(p, "MapInPandas")
+
+    def test_hash_sample_is_map_only(self, spark):
+        """hash_sample must add zero exchanges — a shuffle for a Bernoulli
+        filter would be pure waste at 100 TB."""
+        from widiff_spark import sampling
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = plan(sampling.hash_sample(docs, 0.1))
+        assert "Exchange" not in p

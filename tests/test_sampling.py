@@ -1,0 +1,90 @@
+"""Deterministic sampling operators (sampling.py): reproducibility across
+partitionings, disjoint splits, exact stratified quotas."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from widiff_spark import sampling
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+class TestHashSample:
+    def test_deterministic_and_partition_invariant(self, spark, docs):
+        a = _ids(sampling.hash_sample(docs, 0.2))
+        b = _ids(sampling.hash_sample(docs, 0.2))
+        c = _ids(sampling.hash_sample(docs.repartition(13), 0.2))
+        assert a == b == c and len(a) > 0
+
+    def test_fraction_lands_near_target(self, docs):
+        n = docs.count()
+        got = len(_ids(sampling.hash_sample(docs, 0.2)))
+        assert 0.1 * n < got < 0.3 * n  # binomial, wide bounds
+
+    def test_monotone_in_fraction(self, docs):
+        small = set(_ids(sampling.hash_sample(docs, 0.1)))
+        big = set(_ids(sampling.hash_sample(docs, 0.3)))
+        assert small <= big  # same hash order -> nested samples
+
+    def test_salts_give_different_samples(self, docs):
+        a = set(_ids(sampling.hash_sample(docs, 0.2, salt="a")))
+        b = set(_ids(sampling.hash_sample(docs, 0.2, salt="b")))
+        assert a != b
+
+    def test_bad_fraction_raises(self, docs):
+        with pytest.raises(ValueError):
+            sampling.hash_sample(docs, 1.5)
+
+
+class TestHashSplit:
+    def test_disjoint_and_exhaustive(self, docs):
+        splits = sampling.hash_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        ids = {k: set(_ids(v)) for k, v in splits.items()}
+        assert not (ids["train"] & ids["val"])
+        assert not (ids["train"] & ids["test"])
+        assert not (ids["val"] & ids["test"])
+        # fractions sum to 1 -> the split covers every row
+        assert (len(ids["train"]) + len(ids["val"]) + len(ids["test"])
+                == docs.count())
+
+    def test_oversubscribed_raises(self, docs):
+        with pytest.raises(ValueError):
+            sampling.hash_split(docs, {"a": 0.9, "b": 0.2})
+
+
+class TestStratifiedSample:
+    def test_exact_quota_per_stratum(self, docs):
+        out = sampling.stratified_sample(docs, "lang", 10)
+        per = out.groupBy("lang").count()
+        avail = docs.groupBy("lang").count() \
+            .withColumnRenamed("count", "avail")
+        joined = per.join(avail, "lang").collect()
+        assert joined
+        for r in joined:
+            assert r["count"] == min(10, r["avail"])
+
+    def test_subset_and_deterministic(self, docs):
+        a = _ids(sampling.stratified_sample(docs, "lang", 10))
+        b = _ids(sampling.stratified_sample(docs.repartition(7), "lang", 10))
+        assert a == b
+        assert set(a) <= set(_ids(docs))
+
+    def test_single_window_shuffle_plan(self, docs):
+        """The stratified sample must be scan -> one exchange on the
+        stratum key -> window -> filter; a second exchange would double
+        the shuffle cost at 100 TB."""
+        plan = sampling.stratified_sample(docs, "lang", 10) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1

@@ -1,0 +1,81 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Production corpus assembly needs samples that are (a) reproducible across
+runs and engines — no RNG state, no partition-order dependence — and (b)
+cheap at 100 TB.  Both operators here derive the randomness from md5 over
+the row's stable key, so the SAME rows are selected on any cluster size,
+any partitioning, and by the DuckDB oracle re-deriving the hash:
+
+* ``hash_sample`` — Bernoulli sampling by hash threshold: keep a row iff
+  the first 8 hex chars of ``md5(salt || key)`` sort below the fraction
+  threshold.  A narrow map over the scan — no shuffle at all; different
+  salts give independent samples (train/validation splits that provably
+  never overlap come from partitioning [0,1) into disjoint hash ranges).
+* ``stratified_sample`` — exact per-stratum quotas: rank rows inside each
+  stratum by ``(md5(key), key)`` and keep the first n.  One window
+  shuffle on the stratum key; the md5 order is a stable pseudo-random
+  permutation, so the quota is a uniform-without-replacement draw.
+
+`df.sample()` is none of this: it is partition-order-dependent and
+unreproducible under AQE/repartition, which is why it appears nowhere in
+this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+HEX_SPACE = 16 ** 8  # the 8-hex-digit key space the threshold lives in
+
+
+def _hash_key(key_col: str, salt: str):
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"),
+                       F.col(key_col).cast("string"))), 1, 8)
+
+
+def fraction_threshold(fraction: float) -> str:
+    """8-hex-digit threshold string: hex-string comparison is identical to
+    numeric comparison at fixed width, so both Spark and the SQL oracle
+    compare strings and never parse hex into ints."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * HEX_SPACE), HEX_SPACE - 1), "08x")
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id",
+                salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli sample: ``md5(salt || key)[:8] <
+    threshold(fraction)``.  Map-only (no shuffle, no RNG); the same rows
+    survive on every run, engine, and partitioning."""
+    return df.filter(_hash_key(key_col, salt) < F.lit(
+        fraction_threshold(fraction)))
+
+
+def hash_split(df: DataFrame, fractions: dict[str, float],
+               key_col: str = "doc_id", salt: str = "") -> dict[str, DataFrame]:
+    """Disjoint deterministic splits (e.g. {'train': .98, 'val': .01,
+    'test': .01}): consecutive hash ranges partition the key space, so the
+    splits are provably non-overlapping and exhaustive up to sum(fractions).
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    out, lo = {}, 0.0
+    h = _hash_key(key_col, salt)
+    for name, frac in fractions.items():
+        lo_t, hi_t = fraction_threshold(lo), fraction_threshold(lo + frac)
+        out[name] = df.filter((h >= F.lit(lo_t)) & (h < F.lit(hi_t)))
+        lo += frac
+    return out
+
+
+def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Exact-quota stratified sample: first ``n_per_stratum`` rows of each
+    stratum under the stable pseudo-random (md5(key), key) order.  One
+    window shuffle; strata smaller than the quota are kept whole."""
+    w = Window.partitionBy(strata_col).orderBy(_hash_key(key_col, ""),
+                                               F.col(key_col))
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n_per_stratum).drop("_rk"))
