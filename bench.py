@@ -140,6 +140,11 @@ def main() -> None:
     from widiff_spark import extractors as _extractors, parse as _parse
     best_of("kg_entity_labels", lambda: _extractors.entity_labels(
         _parse.parse_documents(docs)).count())
+    # the JVM-only variant of the same pass (get_json_object over raw
+    # content, no Python decode) — the ratio of these two lines is the
+    # measured cost of routing a dump-level dim pass through Arrow decode
+    best_of("kg_entity_labels_fast",
+            lambda: _extractors.entity_labels_fast(docs).count())
 
     res.unpersist()
     shutil.rmtree(workdir, ignore_errors=True)

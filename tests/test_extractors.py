@@ -129,3 +129,26 @@ class TestPropertyLabels:
         assert parse.parse_documents(docs).select("path").collect()[0][0] == "Q1"
         assert parse.parse_documents(docs, namespace="property") \
             .select("path").collect()[0][0] == "P1"
+
+
+class TestEntityLabelsFast:
+    def test_row_identical_to_decode_path(self, spark):
+        """The JVM-only fast pass must equal the parse-based extractor on
+        the full edge-case corpus (redirects, deleted revisions, alias
+        fallbacks, the works)."""
+        from widiff_spark import extractors, fixtures, parse
+
+        docs = fixtures.edge_case_corpus(spark, include_hot_page=False)
+        slow = extractors.entity_labels(parse.parse_documents(docs)) \
+            .orderBy("qid").collect()
+        fast = extractors.entity_labels_fast(docs).orderBy("qid").collect()
+        assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
+
+    def test_no_python_stage_in_plan(self, spark):
+        from widiff_spark import extractors, fixtures
+
+        docs = fixtures.edge_case_corpus(spark, include_hot_page=False)
+        p = extractors.entity_labels_fast(docs) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in p and "ArrowEvalPython" not in p
+        assert "BatchEvalPython" not in p

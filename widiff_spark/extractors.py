@@ -97,3 +97,36 @@ def property_labels(parsed: DataFrame) -> DataFrame:
                     F.coalesce("_l", F.lit("")).alias("label"),
                     F.coalesce("_a", F.lit("")).alias("alias"),
                     F.coalesce("_d", F.lit("")).alias("description")))
+
+
+def entity_labels_fast(docs: DataFrame) -> DataFrame:
+    """JVM-only variant of entity_labels: reads the three dim fields
+    straight out of the RAW revision JSON with ``get_json_object`` —
+    namespace filter + three JSON projections + one hash aggregate, no
+    Python decode anywhere.  At dump scale this is the pass you want: a
+    column-pruned (path, commit, content) scan where the only per-row work
+    is a JSON path lookup inside whole-stage codegen, ~10x cheaper than
+    routing every revision through the Arrow decode
+    (bench: kg_entity_labels vs kg_entity_labels_fast).
+
+    Row-identical to the parse-based extractor on every corpus — both are
+    driver-oracled against the SAME cleanroom golden (`kg_entity_labels`,
+    `kg_entity_labels_fast`): malformed JSON yields NULL projections here
+    and a quarantined (label-less) row there; deleted/redirect revisions
+    carry no ``labels`` key on either path."""
+    filtered = docs.filter(F.col("path").rlike(r"^Q\d+$"))
+    lab = F.get_json_object("content", "$.labels.en.value")
+    ali = F.get_json_object("content", "$.aliases.en[0].value")
+    des = F.get_json_object("content", "$.descriptions.en.value")
+    return (filtered
+            .groupBy("repo", "path")
+            .agg(_last_nonempty(lab).alias("_l"),
+                 _last_nonempty(ali).alias("_a"),
+                 _last_nonempty(des).alias("_d"))
+            .select("repo",
+                    F.col("path").alias("qid"),
+                    F.expr("CAST(substring(path, 2) AS LONG)")
+                     .alias("numeric_id"),
+                    F.coalesce("_l", F.lit("")).alias("label"),
+                    F.coalesce("_a", F.lit("")).alias("alias"),
+                    F.coalesce("_d", F.lit("")).alias("description")))
