@@ -19,7 +19,7 @@ event-time revert window (bounded state, T3) and a processed-files ledger
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .config import DEFAULT_CONFIG, PipelineConfig
 from .schema import DOCUMENTS_SCHEMA
@@ -78,3 +78,115 @@ def revision_rates(stream: DataFrame, window: str = "1 day",
             .select(F.col("window.start").alias("window_start"),
                     F.col("window.end").alias("window_end"),
                     "repo", "n_revisions", "approx_pages"))
+
+
+# --------------------------------------------------------------------------- #
+# edit-session analytics: batch window + custom stateful streaming operator
+# --------------------------------------------------------------------------- #
+
+SESSION_GAP_SECONDS = 36 * 3600  # > 1-day cadence, < the 2-day breaks
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+SESSION_SCHEMA = ("repo string, entity_id long, session_ord int, "
+                  "n_revisions long, first_timestamp string, "
+                  "last_timestamp string")
+
+
+def edit_sessions(revision: DataFrame,
+                  gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Batch sessionization of the revision stream: per (repo, entity),
+    revisions closer than ``gap_seconds`` belong to one editing session.
+    Pure JVM window algebra — boundary flag via lag, session ordinal via a
+    running sum, one aggregate; the oracle re-derives the identical
+    windows in DuckDB over the golden revision parquet."""
+    ts = F.unix_timestamp(F.to_timestamp("timestamp", _TS_FMT))
+    w = Window.partitionBy("repo", "entity_id") \
+              .orderBy(ts, F.col("revision_id"))
+    prev = F.lag(ts).over(w)
+    boundary = F.when(prev.isNull() | ((ts - prev) > gap_seconds), 1) \
+                .otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (revision
+            .withColumn("_b", boundary)
+            .withColumn("session_ord", F.sum("_b").over(wsum).cast("int"))
+            .groupBy("repo", "entity_id", "session_ord")
+            .agg(F.count("*").alias("n_revisions"),
+                 F.min("timestamp").alias("first_timestamp"),
+                 F.max("timestamp").alias("last_timestamp")))
+
+
+def edit_sessions_stream(spark: SparkSession, revision_dir: str,
+                         checkpoint_dir: str, output_dir: str,
+                         gap_seconds: int = SESSION_GAP_SECONDS,
+                         max_files_per_trigger: int = 2):
+    """CLOSED editing sessions over a *streaming* revision source — the
+    custom stateful operator path (``applyInPandasWithState``): state per
+    (repo, entity) carries the open session (ordinal, count, bounds);
+    a revision arriving beyond the gap closes it (emit) and opens the
+    next.  Sessions still open at end-of-stream are never emitted — the
+    batch oracle excludes each page's last session to match.
+
+    Revision files must arrive in global timestamp order (write them
+    ``orderBy(timestamp)``: the range-partitioned part files ARE the
+    arrival order) — then per-page arrival is monotone and the in-batch
+    sort covers intra-batch shuffling; the reference semantics need no
+    out-of-order repair beyond that, matching its append-only dump feed.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = ("session_ord int, n long, first string, last string, "
+                    "last_epoch long")
+
+    def close_sessions(key, pdfs, state: GroupState):
+        import datetime as _dt
+
+        repo, entity_id = key
+
+        def epoch(s: str) -> int:
+            return int(_dt.datetime.strptime(
+                s, "%Y-%m-%dT%H:%M:%SZ").replace(
+                tzinfo=_dt.timezone.utc).timestamp())
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["timestamp", "revision_id"])
+        if state.exists:
+            ordv, n, first, last, last_epoch = state.get
+        else:
+            ordv, n, first, last, last_epoch = 0, 0, None, None, None
+        closed = []
+        for t in rows["timestamp"]:
+            e = epoch(t)
+            if last_epoch is None:
+                ordv, n, first, last = 1, 1, t, t
+            elif e - last_epoch > gap_seconds:
+                closed.append((repo, entity_id, ordv, n, first, last))
+                ordv, n, first, last = ordv + 1, 1, t, t
+            else:
+                n, last = n + 1, t
+            last_epoch = e
+        state.update((ordv, n, first, last, last_epoch))
+        if closed:
+            yield pd.DataFrame(closed, columns=[
+                "repo", "entity_id", "session_ord", "n_revisions",
+                "first_timestamp", "last_timestamp"])
+
+    src_schema = spark.read.parquet(revision_dir).schema
+    src = (spark.readStream
+           .schema(src_schema)
+           .option("maxFilesPerTrigger", max_files_per_trigger)
+           .parquet(revision_dir)
+           .select("repo", "entity_id", "timestamp", "revision_id"))
+    sessions = (src.groupBy("repo", "entity_id")
+                .applyInPandasWithState(
+                    close_sessions, SESSION_SCHEMA, state_schema,
+                    "append", GroupStateTimeout.NoTimeout))
+    return (sessions.writeStream
+            .format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start())
