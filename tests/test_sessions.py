@@ -50,10 +50,11 @@ class TestStreamingSessions:
             "prev_revision_id", "user_id", "username", "user_type",
             "comment", "redirect", "q_id_redirect", "entity_label",
             "week", "year_month", "year")
-        # arrival order = global timestamp order: range-partitioned sorted
-        # part files are consumed in order by the file stream
-        rev.orderBy("timestamp", "revision_id") \
-            .write.mode("overwrite").parquet(str(base / "rev"))
+        # arrival order = event-time order via sequential per-week appends
+        # (mtime ordering is what the file source consumes in)
+        n_chunks = streaming.write_revision_stream_chunks(
+            rev, str(base / "rev"))
+        assert n_chunks >= 2  # enough files that pages span micro-batches
         batch = streaming.edit_sessions(rev).toPandas()
         res.unpersist()
         q = streaming.edit_sessions_stream(

@@ -116,6 +116,25 @@ def edit_sessions(revision: DataFrame,
                  F.max("timestamp").alias("last_timestamp")))
 
 
+def write_revision_stream_chunks(rev: DataFrame, path: str,
+                                 chunk_col: str = "week") -> int:
+    """Stage a revision table as a file-stream source whose ARRIVAL order
+    is the event-time order.  A single parallel write is NOT enough: the
+    file source orders part files by modification time, and concurrent
+    part-writes carry racing mtimes that can invert the timestamp-range
+    order across runs.  One sequential append per ``chunk_col`` value
+    (zero-padded ISO weeks sort lexicographically) gives strictly
+    increasing mtimes — chunk order == event-time order, deterministic.
+    Returns the number of chunks written."""
+    chunks = sorted(r[0] for r in rev.select(chunk_col).distinct().collect())
+    for ch in chunks:
+        (rev.filter(F.col(chunk_col) == ch)
+         .sortWithinPartitions("timestamp", "revision_id")
+         .coalesce(1)
+         .write.mode("append").parquet(path))
+    return len(chunks)
+
+
 def edit_sessions_stream(spark: SparkSession, revision_dir: str,
                          checkpoint_dir: str, output_dir: str,
                          gap_seconds: int = SESSION_GAP_SECONDS,
@@ -127,11 +146,13 @@ def edit_sessions_stream(spark: SparkSession, revision_dir: str,
     next.  Sessions still open at end-of-stream are never emitted — the
     batch oracle excludes each page's last session to match.
 
-    Revision files must arrive in global timestamp order (write them
-    ``orderBy(timestamp)``: the range-partitioned part files ARE the
-    arrival order) — then per-page arrival is monotone and the in-batch
-    sort covers intra-batch shuffling; the reference semantics need no
-    out-of-order repair beyond that, matching its append-only dump feed.
+    Revision files must arrive in global timestamp order — stage them with
+    ``write_revision_stream_chunks`` (sequential per-week appends; a single
+    parallel write races part-file mtimes and the file source's
+    mtime ordering could invert the range order).  Then per-page arrival
+    is monotone and the in-batch sort covers intra-batch shuffling; the
+    reference semantics need no out-of-order repair beyond that, matching
+    its append-only dump feed.
     """
     import pandas as pd
 
