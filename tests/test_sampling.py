@@ -88,3 +88,33 @@ class TestStratifiedSample:
         plan = sampling.stratified_sample(docs, "lang", 10) \
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+class TestPackDocuments:
+    def test_greedy_invariants(self, spark, docs):
+        from widiff_spark import textops
+
+        out = textops.pack_documents(docs, token_budget=512,
+                                     n_shards=16).toPandas()
+        assert len(out) == docs.count()  # every doc packed exactly once
+        # packs respect the budget unless a single doc overflows it alone
+        per_pack = out.groupby(["shard", "pack_id"]).agg(
+            total=("n_tokens", "sum"), n=("doc_id", "count"))
+        over = per_pack[per_pack.total > 512]
+        assert (over.n == 1).all()
+        # greedy is maximal: consecutive packs could not be merged
+        for shard, grp in out.sort_values("doc_id").groupby("shard"):
+            totals = grp.groupby("pack_id")["n_tokens"].sum()
+            firsts = grp.drop_duplicates("pack_id").set_index("pack_id")[
+                "n_tokens"]
+            for pid in totals.index[:-1]:
+                assert totals[pid] + firsts[pid + 1] > 512
+
+    def test_partition_invariant(self, spark, docs):
+        from widiff_spark import textops
+
+        a = textops.pack_documents(docs).toPandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = textops.pack_documents(docs.repartition(7)).toPandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)

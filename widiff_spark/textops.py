@@ -90,3 +90,46 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     lowercased text (the rolling-hash analog, engine-portable)."""
     norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def pack_documents(docs: DataFrame, token_budget: int = 512,
+                   n_shards: int = 16) -> DataFrame:
+    """Greedy sequence packing for training batches: assign each document
+    to a pack so packs fill up to ``token_budget`` whitespace tokens.
+
+    Scale shape: docs shard by ``doc_id % n_shards`` (embarrassingly
+    parallel — at 100 TB raise n_shards to the cluster width); within a
+    shard the packing is the deterministic greedy first-fit over doc_id
+    order, run as ONE applyInPandas group pass (packing is inherently
+    sequential *within* a pack stream, so the parallel unit is the shard,
+    not the row).  A doc larger than the budget still opens its own pack.
+
+    Deterministic: same corpus -> same packs on any partitioning/cluster;
+    the DuckDB oracle replays the identical greedy fold with a recursive
+    CTE (query ``text_pack_documents``).
+
+    Returns (doc_id, shard, pack_id, n_tokens) — pack_id is per-shard,
+    1-based.
+    """
+    import pandas as pd
+
+    base = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, acc, cur = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if cur == 0 or acc + n > token_budget:
+                cur += 1
+                acc = n
+            else:
+                acc += n
+            pack_ids.append(cur)
+        pdf["pack_id"] = pack_ids
+        return pdf[["doc_id", "shard", "pack_id", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard int, pack_id int, n_tokens int")
