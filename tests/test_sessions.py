@@ -87,3 +87,15 @@ class TestStreamingSessions:
         rows arrived over multiple triggers given day-granular data)."""
         _batch, streamed = session_dirs
         assert (streamed.n_revisions > 1).any()
+
+
+class TestNativeSessionWindow:
+    def test_native_equals_manual(self, spark, result_dfs):
+        """F.session_window (built-in) must produce the exact sessions the
+        lag-rule window derives — on the hour-granular edge corpus."""
+        rev = result_dfs.tables["revision"]
+        key = ["repo", "entity_id", "session_ord"]
+        a = streaming.edit_sessions(rev).orderBy(*key).collect()
+        b = streaming.edit_sessions_native(rev) \
+            .select(*a[0].__fields__).orderBy(*key).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]

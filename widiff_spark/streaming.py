@@ -211,3 +211,27 @@ def edit_sessions_stream(spark: SparkSession, revision_dir: str,
             .outputMode("append")
             .trigger(availableNow=True)
             .start())
+
+
+def edit_sessions_native(revision: DataFrame,
+                         gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """The same sessionization through Spark's BUILT-IN session window
+    (``F.session_window`` — native JVM session merging, the idiomatic
+    operator when it exists).  Gap semantics: session_window(gap) splits at
+    diff >= gap while the lag rule splits at diff > gap, so the native gap
+    is ``gap_seconds + 1`` — identical sessions for whole-second
+    timestamps.  Output is column-identical to edit_sessions and checked
+    against the same oracle (`kg_edit_sessions_native`)."""
+    ts = F.to_timestamp("timestamp", _TS_FMT)
+    agg = (revision
+           .groupBy("repo", "entity_id",
+                    F.session_window(ts, f"{gap_seconds + 1} seconds")
+                    .alias("_w"))
+           .agg(F.count("*").alias("n_revisions"),
+                F.min("timestamp").alias("first_timestamp"),
+                F.max("timestamp").alias("last_timestamp")))
+    w = Window.partitionBy("repo", "entity_id").orderBy(F.col("_w.start"))
+    return (agg.withColumn("session_ord",
+                           F.row_number().over(w).cast("int"))
+            .select("repo", "entity_id", "session_ord", "n_revisions",
+                    "first_timestamp", "last_timestamp"))
