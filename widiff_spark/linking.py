@@ -1,0 +1,125 @@
+"""Entity linking of string mentions to QIDs (north_star stage:
+"broadcast dictionary join for the head distribution plus a batched
+mention-detect + link-score pandas UDF for the tail").
+
+Spark-first decomposition:
+
+* **dictionary build** — per-document surface form (the first ``width``
+  tokens of the text — the title line of the versioned-doc contract)
+  keyed to its Q-id (``Q<doc_id + 10000>``, the established doc↔entity
+  mapping of the derived corpus; hierarchy_edges/closure use the same).
+  Ambiguous surface forms (several docs sharing a title) resolve to the
+  MIN qid — a deterministic canonical, the ON-CONFLICT rule used
+  everywhere else in this engine.
+* **mention detection** — distinct sliding ``width``-grams per document,
+  JVM-side (same slide/explode shape as dedup.shingles — a narrow map).
+* **head path** — the top ``head_k`` dictionary labels by document
+  frequency join mentions EXACTLY via a broadcast hash join.  These are
+  precisely the hot surface forms ("Q5-class" in the north_star's
+  vocabulary): broadcasting removes the skew axis entirely — a hot
+  mention never becomes a hot shuffle key because the dictionary moves
+  to the data, not the data to the dictionary.
+* **tail path** — mentions that miss the head dictionary block on their
+  first token against the (broadcast) tail dictionary, then an
+  Arrow-batched pandas UDF scores each (mention, label) candidate by
+  token-set Jaccard; candidates at/above ``threshold`` keep their best
+  label (score DESC, qid ASC — deterministic top-1).  The scorer is the
+  model seam: swap the Jaccard for a cross-encoder on clusters that ship
+  one; the blocking join and top-1 window stay as-is.
+
+Every step is deterministic and engine-portable — the driver oracle
+(`kg_link_mentions`) re-derives dictionary, mentions, head/tail split,
+Jaccard scores, and the top-1 choice in DuckDB SQL from scratch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+DEFAULT_WIDTH = 3
+DEFAULT_HEAD_K = 50
+DEFAULT_THRESHOLD = 0.5
+
+
+def _tokens(col):
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def label_dictionary(docs: DataFrame, width: int = DEFAULT_WIDTH) -> DataFrame:
+    """(label, qid_num, n_docs): surface form -> canonical entity."""
+    toks = _tokens(F.col("text"))
+    return (docs
+            .select((F.col("doc_id") + 10000).alias("qid_num"),
+                    F.concat_ws(" ", F.slice(toks, 1, width)).alias("label"))
+            .filter(F.size(_tokens(F.col("text"))) >= width)
+            .groupBy("label")
+            .agg(F.min("qid_num").alias("qid_num"),
+                 F.count("*").alias("n_docs")))
+
+
+def detect_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH) -> DataFrame:
+    """Distinct sliding width-gram mentions per doc (JVM explode)."""
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - width + 1)
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(toks, i, width)))
+    return (docs.filter(n >= width)
+            .select("doc_id",
+                    F.explode(F.array_distinct(grams)).alias("mention")))
+
+
+# DataType instance, not a DDL string: the decorator runs at import time,
+# and DDL parsing needs an active SparkSession
+@pandas_udf(DoubleType())
+def _jaccard_score(mention: pd.Series, label: pd.Series) -> pd.Series:
+    """Token-set Jaccard, Arrow-batched (the link-score seam — replace
+    with a model scorer on clusters that ship one)."""
+    out = []
+    for m, lab in zip(mention, label):
+        a, b = set(str(m).split()), set(str(lab).split())
+        union = a | b
+        out.append(round(len(a & b) / len(union), 4) if union else 0.0)
+    return pd.Series(out, dtype="float64")
+
+
+def link_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH,
+                  head_k: int = DEFAULT_HEAD_K,
+                  threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
+    """(doc_id, mention, qid, score, link_path) — head exact links at
+    score 1.0 plus tail fuzzy links at the best Jaccard >= threshold."""
+    dic = label_dictionary(docs, width)
+    head = dic.orderBy(F.desc("n_docs"), F.asc("label")).limit(head_k)
+    tail_dict = dic.join(head.select("label"), "label", "left_anti")
+    mentions = detect_mentions(docs, width)
+
+    head_links = (mentions
+                  .join(F.broadcast(head),
+                        mentions["mention"] == head["label"])
+                  .select("doc_id", "mention", "qid_num",
+                          F.lit(1.0).alias("score"),
+                          F.lit("head").alias("link_path")))
+
+    rest = mentions.join(F.broadcast(head),
+                         mentions["mention"] == head["label"], "left_anti")
+    bk = F.split(F.col("mention"), " ")[0]
+    lbk = F.split(F.col("label"), " ")[0]
+    cand = (rest.withColumn("_bk", bk)
+            .join(F.broadcast(tail_dict.withColumn("_bk", lbk)), "_bk")
+            .withColumn("score", _jaccard_score("mention", "label"))
+            .filter(F.col("score") >= threshold))
+    w = Window.partitionBy("doc_id", "mention") \
+              .orderBy(F.desc("score"), F.asc("qid_num"))
+    tail_links = (cand.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("_rk") == 1)
+                  .select("doc_id", "mention", "qid_num", "score",
+                          F.lit("tail").alias("link_path")))
+
+    return (head_links.unionByName(tail_links)
+            .select("doc_id", "mention",
+                    F.concat(F.lit("Q"), F.col("qid_num").cast("string"))
+                    .alias("qid"),
+                    "score", "link_path"))
