@@ -74,7 +74,26 @@ class TestLinkMentions:
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
-        assert "BroadcastHashJoin" in p  # head + tail dicts move to the data
+        assert "BroadcastHashJoin" in p  # head dict moves to the data
+
+    def test_default_plan_has_no_python(self, spark):
+        """The default (JVM) scorer keeps the whole linking plan inside
+        codegen — no Arrow/Python eval node anywhere."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = linking.link_mentions(docs) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in p
+        assert "BatchEvalPython" not in p
+
+    def test_jvm_scorer_matches_pandas_scorer(self, spark):
+        """The vectorized array_intersect/array_union Jaccard is
+        score-identical to the Arrow pandas-UDF seam."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = linking.link_mentions(docs, scorer="jvm").toPandas() \
+            .sort_values(["doc_id", "mention"]).reset_index(drop=True)
+        b = linking.link_mentions(docs, scorer="pandas").toPandas() \
+            .sort_values(["doc_id", "mention"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
 
 
 class TestBlockCap:
@@ -90,3 +109,36 @@ class TestBlockCap:
         pd.testing.assert_frame_equal(
             uncapped[uncapped.link_path == "head"].reset_index(drop=True),
             capped.reset_index(drop=True))
+
+    def test_default_cap_is_finite(self):
+        import inspect
+
+        sig = inspect.signature(linking.link_mentions)
+        assert sig.parameters["max_block_df"].default \
+            == linking.DEFAULT_MAX_BLOCK_DF
+        assert isinstance(linking.DEFAULT_MAX_BLOCK_DF, int)
+
+    def test_adversarial_hot_bigram_stays_subquadratic(self, spark):
+        """Adversarial corpus: n docs whose titles all share the bigram
+        'hot pair' ('hot pair u<i> ...').  Uncapped, that one blocking key
+        alone yields ~n^2 candidate pairs; under the default cap the hot
+        key is dropped and every pair still blocks via its RARE bigram
+        ('pair u<i>', df=1), so candidate volume is O(n) and recall for
+        true near-matches survives."""
+        n = 60  # > head_k + enough that n^2 vs n separates cleanly
+        rows = [(i, f"hot pair u{i} filler{i} tail{i}") for i in range(n)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        tail_dict = linking.label_dictionary(docs)  # head_k=0: all tail
+        rest = linking.detect_mentions(docs)
+        uncapped = linking.tail_candidates(rest, tail_dict,
+                                           max_block_df=None).count()
+        capped = linking.tail_candidates(rest, tail_dict,
+                                         max_block_df=10).count()
+        assert uncapped >= n * n          # the quadratic trap is real
+        assert capped <= 6 * n            # cap bounds it to O(n)
+        # end-to-end: links still green under the default cap — each doc
+        # still self-links its own title through the rare bigram
+        out = linking.link_mentions(docs, head_k=0,
+                                    max_block_df=10).toPandas()
+        self_links = out[(out.link_path == "tail") & (out.score == 1.0)]
+        assert len(self_links) == n

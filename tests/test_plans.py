@@ -262,3 +262,31 @@ class TestRound4Plans:
         docs = spark.read.parquet(f"{SF}/documents.parquet")
         p = plan(sampling.hash_sample(docs, 0.1))
         assert "Exchange" not in p
+
+
+class TestStagingPartitionPruning:
+    def test_bucket_filter_prunes_staging_partitions(self, spark, tmp_path):
+        """The streaming staging area is written partitionBy('bucket'), so
+        filter_to_buckets on it must be a PARTITION filter (pruned file
+        listing), not a post-scan predicate over all history — at month N
+        of a streaming deployment this is the difference between scanning
+        touched buckets and scanning everything ever staged."""
+        from widiff_spark import checkpoint
+
+        staging = str(tmp_path / "staging")
+        docs = fixtures.edge_case_corpus(spark, include_hot_page=False)
+        (docs.withColumn("bucket", checkpoint.bucket_col())
+         .write.mode("append").partitionBy("bucket").parquet(staging))
+        staged = spark.read.parquet(staging)
+        pruned = checkpoint.filter_to_buckets(staged, [3, 7])
+        p = plan(pruned)
+        assert "PartitionFilters" in p and "bucket" in p
+        # the bucket predicate lands in PartitionFilters, not PushedFilters
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+        assert m and "bucket" in m.group(1)
+        # pruning must not change semantics: same rows as the derived-hash
+        # filter on the unpartitioned original
+        n_total = staged.select("bucket").distinct().count()
+        assert n_total > 2
+        expect = docs.filter(checkpoint.bucket_col().isin([3, 7])).count()
+        assert pruned.count() == expect > 0

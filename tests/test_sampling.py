@@ -46,6 +46,13 @@ class TestHashSample:
         with pytest.raises(ValueError):
             sampling.hash_sample(docs, 1.5)
 
+    def test_fraction_one_is_sentinel_and_keeps_all(self, docs):
+        # 'g' sorts above every hex digit, so even a row hashing to
+        # exactly 'ffffffff' survives; clamping to HEX_SPACE-1 would not
+        assert sampling.fraction_threshold(1.0) == "g"
+        assert "ffffffff" < "g"
+        assert sampling.hash_sample(docs, 1.0).count() == docs.count()
+
 
 class TestHashSplit:
     def test_disjoint_and_exhaustive(self, docs):

@@ -85,9 +85,12 @@ def read_checkpoints(spark: SparkSession, path: str) -> DataFrame:
 def input_watermarks(docs: DataFrame,
                      n_buckets: int = N_ENTITY_BUCKETS) -> DataFrame:
     """Per-bucket high-water mark of the *input* (lexicographic commit order
-    = revision order, FIXTURES.md §1)."""
+    = revision order, FIXTURES.md §1).  A physical ``bucket`` column (the
+    bucket-partitioned staging layout, streaming.py) is trusted as-is —
+    it is written from the same ``bucket_col`` formula."""
+    if "bucket" not in docs.columns:
+        docs = docs.withColumn("bucket", bucket_col(n_buckets))
     return (docs.filter(F.col("path").rlike(r"^Q\d+$"))
-            .withColumn("bucket", bucket_col(n_buckets))
             .groupBy("bucket")
             .agg(F.max("commit").alias("input_max_commit"),
                  F.count("*").alias("n_input_rows"),
@@ -113,8 +116,15 @@ def pending_buckets(docs: DataFrame, spark: SparkSession, path: str,
 
 def filter_to_buckets(docs: DataFrame, buckets: list[int],
                       n_buckets: int = N_ENTITY_BUCKETS) -> DataFrame:
-    """Restrict the input to the pages of the given buckets (predicate pushes
-    into the scan through the deterministic hash)."""
+    """Restrict the input to the pages of the given buckets.  When the
+    input carries a physical ``bucket`` column (bucket-partitioned staging,
+    streaming.py) the filter is a PARTITION-PRUNING predicate — the scan
+    never lists or reads untouched buckets' files, so a month-old streaming
+    staging area costs only its touched buckets per trigger.  Otherwise the
+    bucket is derived from (repo, path) and the filter evaluates post-scan
+    (the hash can't prune)."""
+    if "bucket" in docs.columns:
+        return docs.filter(F.col("bucket").isin(buckets))
     return docs.filter(bucket_col(n_buckets).isin(buckets))
 
 

@@ -59,7 +59,11 @@ def shingles(docs: DataFrame, width: int = DEFAULT_SHINGLE) -> DataFrame:
         n_files = len(docs.inputFiles())
     except Exception:  # non-file-backed plans (createDataFrame, joins)
         n_files = 0
-    if 0 < n_files < sc.defaultParallelism:
+    # n_files == 0 means a non-file-backed plan (createDataFrame, join,
+    # LocalRelation) — exactly the inputs that may sit on one partition,
+    # so they take the repartition branch too; only a file scan with
+    # enough splits skips it.
+    if n_files < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
     toks = F.split(_norm_text(F.col("text")), " ")
     n = F.size(toks)

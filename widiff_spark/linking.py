@@ -20,19 +20,26 @@ Spark-first decomposition:
   mention never becomes a hot shuffle key because the dictionary moves
   to the data, not the data to the dictionary.
 * **tail path** — mentions that miss the head dictionary block against
-  the (broadcast) tail dictionary on a shared CONSECUTIVE TOKEN BIGRAM
-  (each 3-token surface form contributes its two bigrams; a candidate
-  must share one).  Blocking is the cost/recall dial of every linking
-  system: bigram blocking finds exactly the pairs sharing two adjacent
-  tokens (which at threshold 0.5 is almost the full match set — only
-  token-1+3 non-adjacent shares are excluded) at ~1/vocab the candidate
-  volume of first-token blocking (measured 50x at sf0.1: 16M -> ~0.3M
-  scored pairs).  An Arrow-batched pandas UDF then scores each candidate
-  by token-set Jaccard; candidates at/above ``threshold`` keep their
-  best label (score DESC, qid ASC — deterministic top-1).  The scorer is
-  the model seam: swap the Jaccard for a cross-encoder on clusters that
-  ship one; the blocking join and top-1 window stay as-is.  The oracle
-  applies the identical bigram restriction.
+  the tail dictionary on a shared CONSECUTIVE TOKEN BIGRAM (each
+  3-token surface form contributes its two bigrams; a candidate must
+  share one).  The blocking join carries NO broadcast hint: the tail
+  dictionary is ~one label per distinct title, i.e. O(corpus), so a
+  forced broadcast would OOM at scale — it is a plain equi-join on
+  ``_bk`` and AQE promotes it to a broadcast join at runtime whenever
+  the dictionary side is actually small.  Blocking is the cost/recall
+  dial of every linking system: bigram blocking finds exactly the pairs
+  sharing two adjacent tokens (which at threshold 0.5 is almost the
+  full match set — only token-1+3 non-adjacent shares are excluded) at
+  ~1/vocab the candidate volume of first-token blocking (measured 50x
+  at sf0.1: 16M -> ~0.3M scored pairs).  Candidates are scored by
+  token-set Jaccard ENTIRELY JVM-side (``array_intersect`` /
+  ``array_union`` over pre-split token arrays — the F11 featurelib
+  pattern; no Python in the default tail plan); candidates at/above
+  ``threshold`` keep their best label (score DESC, qid ASC —
+  deterministic top-1).  ``scorer='pandas'`` swaps in the Arrow-batched
+  pandas UDF — the model seam for clusters that ship a cross-encoder;
+  the blocking join and top-1 window stay as-is.  The oracle applies
+  the identical bigram restriction and hot-key cap.
 
 Every step is deterministic and engine-portable — the driver oracle
 (`kg_link_mentions`) re-derives dictionary, mentions, head/tail split,
@@ -49,6 +56,11 @@ from pyspark.sql.types import DoubleType
 DEFAULT_WIDTH = 3
 DEFAULT_HEAD_K = 50
 DEFAULT_THRESHOLD = 0.5
+# Hot-bigram blocking-key cap, ON by default: a real near-match shares
+# its rarer bigram, so dropping keys with > this many tail-dictionary
+# labels bounds candidate volume at sum(df_i^2) <= n_keys * CAP^2 rather
+# than the unguarded quadratic.  Pass max_block_df=None to opt out.
+DEFAULT_MAX_BLOCK_DF = 500
 
 
 def _tokens(col):
@@ -93,21 +105,57 @@ def _jaccard_score(mention: pd.Series, label: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
+def _bigrams(col):
+    t = F.split(F.col(col), " ")
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    return F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(t, i), F.element_at(t, i + 1)))
+
+
+def tail_candidates(rest: DataFrame, tail_dict: DataFrame,
+                    max_block_df: int | None = DEFAULT_MAX_BLOCK_DF
+                    ) -> DataFrame:
+    """Blocked (doc_id, mention, label, qid_num) candidate pairs: mention
+    and tail label share a consecutive token bigram whose tail-dictionary
+    document frequency is <= ``max_block_df``.  Exposed so tests can
+    assert candidate volume stays sub-quadratic on adversarial corpora.
+
+    The blocking join carries no broadcast hint — tail_dict is O(corpus)
+    (~one label per distinct title), so a forced broadcast OOMs at scale;
+    AQE promotes the join to broadcast at runtime when the side is small."""
+    tailb = tail_dict.withColumn("_bk", F.explode(_bigrams("label")))
+    if max_block_df is not None:
+        keep = (tailb.groupBy("_bk").count()
+                .filter(F.col("count") <= max_block_df).select("_bk"))
+        tailb = tailb.join(keep, "_bk", "left_semi")
+    return (rest.withColumn("_bk", F.explode(_bigrams("mention")))
+            .join(tailb, "_bk")
+            .select("doc_id", "mention", "label", "qid_num")
+            .distinct())  # a pair can share both bigrams
+
+
 def link_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH,
                   head_k: int = DEFAULT_HEAD_K,
                   threshold: float = DEFAULT_THRESHOLD,
-                  max_block_df: int | None = None) -> DataFrame:
+                  max_block_df: int | None = DEFAULT_MAX_BLOCK_DF,
+                  scorer: str = "jvm") -> DataFrame:
     """(doc_id, mention, qid, score, link_path) — head exact links at
     score 1.0 plus tail fuzzy links at the best Jaccard >= threshold.
 
     ``max_block_df``: at corpus scale the candidate volume is
     sum_over_bigrams |mentions(bg)| x |tail_labels(bg)| — a hot blocking
     bigram ("of the") is the quadratic trap, same shape as hot shingles
-    in dedup.  Setting a cap drops blocking keys whose TAIL-DICTIONARY
-    side exceeds it (the dedup.rare_shingle_candidates dial): a real
+    in dedup.  The cap drops blocking keys whose TAIL-DICTIONARY side
+    exceeds it (the dedup.rare_shingle_candidates dial): a real
     near-match shares its rarer bigram anyway, and the head path already
-    owns the genuinely hot surface forms.  Off by default — the driver
-    corpus doesn't need it; at 10^12 docs set it to a few hundred."""
+    owns the genuinely hot surface forms.  ON by default
+    (``DEFAULT_MAX_BLOCK_DF``); ``None`` is the explicit opt-out for
+    corpora known to have no hot blocking keys.
+
+    ``scorer``: ``'jvm'`` (default) computes the token-set Jaccard with
+    ``array_intersect``/``array_union`` inside whole-stage codegen;
+    ``'pandas'`` routes through the Arrow-batched ``_jaccard_score`` UDF
+    — identical scores, kept as the swap-in seam for model scorers."""
     dic = label_dictionary(docs, width)
     head = dic.orderBy(F.desc("n_docs"), F.asc("label")).limit(head_k)
     tail_dict = dic.join(head.select("label"), "label", "left_anti")
@@ -122,25 +170,17 @@ def link_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH,
 
     rest = mentions.join(F.broadcast(head),
                          mentions["mention"] == head["label"], "left_anti")
-
-    def bigrams(col):
-        t = F.split(F.col(col), " ")
-        idx = F.sequence(F.lit(1), F.size(t) - 1)
-        return F.transform(idx, lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1)))
-
-    tailb = tail_dict.withColumn("_bk", F.explode(bigrams("label")))
-    if max_block_df is not None:
-        keep = (tailb.groupBy("_bk").count()
-                .filter(F.col("count") <= max_block_df).select("_bk"))
-        tailb = tailb.join(keep, "_bk", "left_semi")
-    blocked = (rest.withColumn("_bk", F.explode(bigrams("mention")))
-               .join(F.broadcast(tailb), "_bk")
-               .select("doc_id", "mention", "label", "qid_num")
-               .distinct())  # a pair can share both bigrams
-    cand = (blocked
-            .withColumn("score", _jaccard_score("mention", "label"))
-            .filter(F.col("score") >= threshold))
+    blocked = tail_candidates(rest, tail_dict, max_block_df)
+    if scorer == "jvm":
+        mt, lt = F.split(F.col("mention"), " "), F.split(F.col("label"), " ")
+        jac = F.round(
+            F.size(F.array_intersect(mt, lt)).cast("double")
+            / F.size(F.array_union(mt, lt)), 4)
+        cand = blocked.withColumn("score", jac)
+    else:
+        cand = blocked.withColumn("score",
+                                  _jaccard_score("mention", "label"))
+    cand = cand.filter(F.col("score") >= threshold)
     w = Window.partitionBy("doc_id", "mention") \
               .orderBy(F.desc("score"), F.asc("qid_num"))
     tail_links = (cand.withColumn("_rk", F.row_number().over(w))

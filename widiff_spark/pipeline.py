@@ -114,7 +114,12 @@ def run_pipeline(spark: SparkSession, docs: DataFrame,
     ``mode='grouped'``: per-page applyInPandas replay — minimal shuffle,
     right for balanced corpora.  ``mode='salted'``: pair-parallel diff
     (salted.py) — immune to hot-page skew, one extra window shuffle;
-    row-identical output (tests/test_salted_parity.py)."""
+    row-identical output (tests/test_salted_parity.py).
+
+    NOTE ``mode='auto'`` makes this call EAGER: the skew probe runs a
+    real aggregation job over ``docs`` at invocation time (~0.5 s at
+    sf0.1), before any result DataFrame is consumed.  Loop callers pass
+    an explicit mode (see run_incremental / the streaming sink)."""
     from . import fixtures
 
     max_page_revisions = 0
@@ -179,13 +184,19 @@ def run_pipeline(spark: SparkSession, docs: DataFrame,
 def run_incremental(spark: SparkSession, docs: DataFrame, output_path: str,
                     config: PipelineConfig = DEFAULT_CONFIG,
                     run_id: str = "run",
-                    tables: list[str] | None = None) -> dict:
+                    tables: list[str] | None = None,
+                    mode: str = "auto") -> dict:
     """Checkpointed, idempotent end-to-end run (north_rule resume contract).
 
     Only buckets whose input advanced past the recorded high-water mark are
     re-processed; their table partitions are overwritten in place; the
     checkpoint table gains one lineage row (pages/revisions/triples counts)
     per bucket.  Re-running on unchanged input is a no-op.
+
+    ``mode`` passes through to ``run_pipeline``.  NOTE ``'auto'`` probes
+    page skew with a real aggregation job over the bucket-filtered input
+    at call time — repeated callers (the streaming sink) resolve the mode
+    once and pass it explicitly rather than paying the probe per trigger.
     """
     from . import checkpoint, materialize
 
@@ -194,7 +205,7 @@ def run_incremental(spark: SparkSession, docs: DataFrame, output_path: str,
         return {"processed_buckets": [], "tables": {}}
 
     subset = checkpoint.filter_to_buckets(docs, todo)
-    res = run_pipeline(spark, subset, config)
+    res = run_pipeline(spark, subset, config, mode=mode)
     wanted = tables or (CHANGE_TABLES + ["entity_stats"])
     locations = {}
     for name in wanted:

@@ -37,10 +37,19 @@ def _hash_key(key_col: str, salt: str):
 def fraction_threshold(fraction: float) -> str:
     """8-hex-digit threshold string: hex-string comparison is identical to
     numeric comparison at fixed width, so both Spark and the SQL oracle
-    compare strings and never parse hex into ints."""
-    if not 0.0 <= fraction <= 1.0:
+    compare strings and never parse hex into ints.
+
+    At fraction 1.0 the threshold is the sentinel ``'g'`` — one past the
+    hex alphabet, so EVERY md5 prefix (including ``'ffffffff'``) sorts
+    strictly below it.  Clamping to ``'ffffffff'`` instead would silently
+    drop the ~2^-32 of rows whose prefix is exactly the max, breaking the
+    exhaustiveness promise of full-coverage splits."""
+    if not 0.0 <= fraction <= 1.0 + 1e-9:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(int(fraction * HEX_SPACE), HEX_SPACE - 1), "08x")
+    t = int(fraction * HEX_SPACE)
+    if t >= HEX_SPACE or abs(fraction - 1.0) <= 1e-9:
+        return "g"
+    return format(t, "08x")
 
 
 def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id",

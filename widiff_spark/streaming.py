@@ -38,19 +38,35 @@ def run_streaming_pipeline(stream: DataFrame, staging_dir: str,
                            output_dir: str,
                            checkpoint_dir: str,
                            config: PipelineConfig = DEFAULT_CONFIG,
-                           trigger: dict | None = None):
+                           trigger: dict | None = None,
+                           mode: str = "grouped"):
     """Micro-batch sink: stage the batch, then incremental-diff the touched
-    buckets.  Returns the StreamingQuery (caller awaits/stops)."""
+    buckets.  Returns the StreamingQuery (caller awaits/stops).
+
+    The staging area is PARTITIONED BY BUCKET (the checkpoint redo unit):
+    each trigger appends only the partitions its batch touches, and the
+    incremental re-diff's ``filter_to_buckets`` becomes partition pruning
+    — a month of accumulated history costs a trigger only the file listing
+    and scan of its touched buckets, not the whole staging directory
+    (asserted in tests/test_plans.py).
+
+    ``mode`` is resolved ONCE here and passed through — the per-call skew
+    probe of ``mode='auto'`` would add a full aggregation job to every
+    micro-batch, so the stream defaults to 'grouped' and callers with a
+    known-skewed corpus pass 'salted' (or 'auto' to probe each trigger
+    anyway, now cheap against the pruned scan)."""
     from .pipeline import run_incremental
+    from . import checkpoint
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch_df.write.mode("append").parquet(staging_dir)
+        (batch_df.withColumn("bucket", checkpoint.bucket_col())
+         .write.mode("append").partitionBy("bucket").parquet(staging_dir))
         staged = spark.read.parquet(staging_dir)
         run_incremental(spark, staged, output_dir, config,
-                        run_id=f"stream-batch-{batch_id}")
+                        run_id=f"stream-batch-{batch_id}", mode=mode)
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)
@@ -118,20 +134,49 @@ def edit_sessions(revision: DataFrame,
 
 def write_revision_stream_chunks(rev: DataFrame, path: str,
                                  chunk_col: str = "week") -> int:
-    """Stage a revision table as a file-stream source whose ARRIVAL order
-    is the event-time order.  A single parallel write is NOT enough: the
-    file source orders part files by modification time, and concurrent
-    part-writes carry racing mtimes that can invert the timestamp-range
-    order across runs.  One sequential append per ``chunk_col`` value
-    (zero-padded ISO weeks sort lexicographically) gives strictly
-    increasing mtimes — chunk order == event-time order, deterministic.
-    Returns the number of chunks written."""
+    """TEST-HARNESS ONLY — stages a bounded revision table as a
+    file-stream source whose ARRIVAL order is the event-time order, so
+    the stateful-streaming tests get a deterministic feed.  The driver
+    loop over ``collect()``-ed chunk values with ``coalesce(1)`` writes
+    is deliberate here (one file per chunk, sequential mtimes) and is
+    exactly what a production staging path must NOT do — production
+    ingest is ``run_streaming_pipeline``'s bucket-partitioned append.
+
+    A single parallel write is NOT enough: the file source orders part
+    files by modification time, and concurrent part-writes carry racing
+    mtimes that can invert the timestamp-range order across runs.  One
+    sequential append per ``chunk_col`` value gives increasing mtimes;
+    because filesystem mtime granularity can be coarse enough for two
+    fast writes to tie, each chunk's file is explicitly ``os.utime``-d
+    one second after its predecessor — monotonicity enforced, not
+    assumed.  The coalesce(1) precedes the sort so the single output
+    file is GLOBALLY sorted (sort-then-coalesce would concatenate
+    per-partition runs).  Returns the number of chunks written."""
+    import os
+
+    def _parts() -> set[str]:
+        try:
+            return {os.path.join(path, f) for f in os.listdir(path)
+                    if f.startswith("part-")}
+        except FileNotFoundError:
+            return set()
+
     chunks = sorted(r[0] for r in rev.select(chunk_col).distinct().collect())
+    seen, last_mtime = _parts(), 0.0
     for ch in chunks:
         (rev.filter(F.col(chunk_col) == ch)
-         .sortWithinPartitions("timestamp", "revision_id")
          .coalesce(1)
+         .sortWithinPartitions("timestamp", "revision_id")
          .write.mode("append").parquet(path))
+        # enforce strictly-increasing mtimes across chunks even when the
+        # filesystem's mtime granularity would let two fast writes tie;
+        # the new file is identified by set-diff, never by mtime
+        now = _parts()
+        for p in sorted(now - seen):
+            target = max(os.path.getmtime(p), last_mtime + 1.0)
+            os.utime(p, (target, target))
+            last_mtime = target
+        seen = now
     return len(chunks)
 
 
