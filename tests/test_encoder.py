@@ -158,3 +158,178 @@ class TestSparkIntegration:
         # (same checkpoint, no RNG at inference)
         row = filled[filled.revision_id == 3501].iloc[0]
         assert row.old_value_label == "Earth"
+
+
+def _random_hf_state_dict(rng, vocab_size, hidden, layers, heads,
+                          intermediate, max_pos):
+    """A BERT-shaped {name: numpy array} state_dict in HuggingFace's
+    conventions: Linear weights stored [out, in], separate token-type
+    embedding table."""
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float64)
+
+    sd = {"embeddings.word_embeddings.weight": w(vocab_size, hidden),
+          "embeddings.position_embeddings.weight": w(max_pos, hidden),
+          "embeddings.token_type_embeddings.weight": w(2, hidden),
+          "embeddings.LayerNorm.weight": np.ones(hidden),
+          "embeddings.LayerNorm.bias": w(hidden).ravel()}
+    for i in range(layers):
+        p = f"encoder.layer.{i}."
+        for name in ("attention.self.query", "attention.self.key",
+                     "attention.self.value", "attention.output.dense"):
+            sd[p + name + ".weight"] = w(hidden, hidden)
+            sd[p + name + ".bias"] = w(hidden).ravel()
+        sd[p + "intermediate.dense.weight"] = w(intermediate, hidden)
+        sd[p + "intermediate.dense.bias"] = w(intermediate).ravel()
+        sd[p + "output.dense.weight"] = w(hidden, intermediate)
+        sd[p + "output.dense.bias"] = w(hidden).ravel()
+        for ln in ("attention.output.LayerNorm", "output.LayerNorm"):
+            sd[p + ln + ".weight"] = np.ones(hidden)
+            sd[p + ln + ".bias"] = w(hidden).ravel()
+    return sd
+
+
+def _hf_convention_forward(sd, ids, mask, heads):
+    """Independent reference forward pass written directly against the
+    HuggingFace conventions (x @ W.T + b on [out, in] weights, explicit
+    token-type-0 embedding term, exact erf GELU) — any transpose or fold
+    mistake in the converter shows up as a mismatch here."""
+    import math
+
+    def ln(x, g, b, eps=1e-12):
+        mu = x.mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(x.var(-1, keepdims=True) + eps) * g + b
+
+    def lin(x, p):
+        return x @ sd[p + ".weight"].T + sd[p + ".bias"]
+
+    erf = np.frompyfunc(math.erf, 1, 1)
+    B, T = ids.shape
+    x = (sd["embeddings.word_embeddings.weight"][ids]
+         + sd["embeddings.position_embeddings.weight"][:T][None]
+         + sd["embeddings.token_type_embeddings.weight"][0][None, None])
+    x = ln(x, sd["embeddings.LayerNorm.weight"],
+           sd["embeddings.LayerNorm.bias"])
+    n_layers = 1 + max(int(k.split(".")[2]) for k in sd
+                       if k.startswith("encoder.layer."))
+    H = x.shape[-1]
+    dh = H // heads
+    for i in range(n_layers):
+        p = f"encoder.layer.{i}."
+
+        def split(t):
+            return t.reshape(B, T, heads, dh).transpose(0, 2, 1, 3)
+
+        q = split(lin(x, p + "attention.self.query"))
+        k = split(lin(x, p + "attention.self.key"))
+        v = split(lin(x, p + "attention.self.value"))
+        s = q @ k.transpose(0, 1, 3, 2) / np.sqrt(dh)
+        s = s + (1.0 - mask[:, None, None, :]) * -1e9
+        e = np.exp(s - s.max(-1, keepdims=True))
+        a = e / e.sum(-1, keepdims=True)
+        ctx = (a @ v).transpose(0, 2, 1, 3).reshape(B, T, H)
+        x = ln(x + lin(ctx, p + "attention.output.dense"),
+               sd[p + "attention.output.LayerNorm.weight"],
+               sd[p + "attention.output.LayerNorm.bias"])
+        h = lin(x, p + "intermediate.dense")
+        h = 0.5 * h * (1.0 + erf(h / np.sqrt(2.0)).astype(np.float64))
+        x = ln(x + lin(h, p + "output.dense"),
+               sd[p + "output.LayerNorm.weight"],
+               sd[p + "output.LayerNorm.bias"])
+    m = mask[:, :, None]
+    pooled = (x * m).sum(1) / np.maximum(m.sum(1), 1.0)
+    return pooled / np.maximum(
+        np.linalg.norm(pooled, axis=1, keepdims=True), 1e-12)
+
+
+class TestCheckpointConverter:
+    """scripts/export_minilm_npz.py — the state_dict -> npz mapping is
+    validated in-container against an independent HF-convention forward
+    pass; the real-weights parity test below is presence-gated on an
+    actually-converted MiniLM checkpoint."""
+
+    def test_converted_weights_reproduce_hf_forward(self, model_dir):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "export_minilm_npz",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "export_minilm_npz.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        rng = np.random.default_rng(11)
+        hidden, layers, heads, inter, max_pos = 32, 2, 4, 64, 48
+        # reuse the test checkpoint's vocab for real tokenization
+        base = NumpyTransformerEncoder.load(model_dir)
+        vocab = base.tokenizer.vocab
+        sd = _random_hf_state_dict(rng, len(vocab), hidden, layers, heads,
+                                   inter, max_pos)
+        hf_cfg = {"hidden_size": hidden, "num_hidden_layers": layers,
+                  "num_attention_heads": heads,
+                  "max_position_embeddings": max_pos,
+                  "intermediate_size": inter, "hidden_act": "gelu"}
+        cfg, w = mod.convert_arrays(sd, hf_cfg)
+        assert cfg["act"] == "gelu"
+        enc = NumpyTransformerEncoder(w, vocab, cfg)
+
+        texts = ["douglas adams", "the city of paris",
+                 "and 42 books of france"]
+        tok = [enc.tokenizer(t, max_pos) for t in texts]
+        T = max(len(t) for t in tok)
+        ids = np.full((len(texts), T), enc.tokenizer.pad, dtype=np.int64)
+        mask = np.zeros((len(texts), T), dtype=np.float64)
+        for i, t in enumerate(tok):
+            ids[i, :len(t)] = t
+            mask[i, :len(t)] = 1.0
+        got = enc._forward(ids, mask)
+        want = _hf_convention_forward(sd, ids, mask, heads)
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_strip_prefix_handles_bert_wrapper(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "export_minilm_npz2",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "export_minilm_npz.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        sd = {"bert.embeddings.word_embeddings.weight": np.zeros((4, 2))}
+        out = mod._strip_prefix(sd)
+        assert "embeddings.word_embeddings.weight" in out
+
+
+class TestRealMiniLMParity:
+    """Presence-gated: point WIDIFF_MINILM_DIR at a checkpoint produced by
+    ``scripts/export_minilm_npz.py <hf_minilm> <dir> --reference`` and this
+    asserts the numpy encoder reproduces sentence-transformers' embeddings
+    of encoder.PARITY_SENTENCES to 1e-4 — the real-weights evidence for
+    F19 (reference feature_creation.py:29-121).  Skips (with the reason
+    printed) where no converted checkpoint exists, e.g. this container."""
+
+    def test_parity_with_sentence_transformers(self):
+        import os
+
+        from widiff_spark.encoder import PARITY_SENTENCES
+
+        mdir = os.environ.get("WIDIFF_MINILM_DIR")
+        if not mdir:
+            pytest.skip("WIDIFF_MINILM_DIR not set — no converted real "
+                        "MiniLM checkpoint in this environment (torch/"
+                        "sentence-transformers not installable here; run "
+                        "scripts/export_minilm_npz.py offline)")
+        ref_path = os.path.join(mdir, "reference.npz")
+        if not os.path.exists(ref_path):
+            pytest.skip(f"{ref_path} missing — re-run the exporter with "
+                        "--reference to record sentence-transformers "
+                        "embeddings")
+        ref = np.load(ref_path, allow_pickle=True)
+        assert list(ref["sentences"]) == PARITY_SENTENCES, \
+            "checkpoint was exported against a different parity set"
+        enc = NumpyTransformerEncoder.load(mdir)
+        got = enc.encode(PARITY_SENTENCES)
+        np.testing.assert_allclose(got, ref["embeddings"], atol=1e-4)

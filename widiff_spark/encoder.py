@@ -30,6 +30,7 @@ Checkpoint layout (``model_dir/``):
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 
@@ -45,10 +46,38 @@ def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray,
     return (x - mu) / np.sqrt(var + eps) * g + b
 
 
-def _gelu(x: np.ndarray) -> np.ndarray:
-    # tanh approximation — what BERT/MiniLM actually use
+def _gelu_tanh(x: np.ndarray) -> np.ndarray:
+    # tanh approximation (BERT's original "gelu_new")
     return 0.5 * x * (1.0 + np.tanh(
         np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
+
+
+_erf = np.frompyfunc(math.erf, 1, 1)  # exact double-precision erf
+
+
+def _gelu_erf(x: np.ndarray) -> np.ndarray:
+    # exact GELU 0.5*x*(1+erf(x/sqrt(2))) — what HuggingFace BERT/MiniLM
+    # execute for hidden_act='gelu'; needed for 1e-4 parity with real
+    # MiniLM weights (the tanh approximation drifts ~1e-3 per activation)
+    return 0.5 * x * (1.0 + _erf(x / np.sqrt(2.0)).astype(np.float64))
+
+
+_ACTIVATIONS = {"gelu_tanh": _gelu_tanh, "gelu": _gelu_erf,
+                "gelu_erf": _gelu_erf}
+
+# Fixed sentence set for real-weights parity: the exporter records the
+# sentence-transformers embeddings of exactly these sentences alongside
+# the converted checkpoint, and tests/test_encoder.py replays them here.
+PARITY_SENTENCES = [
+    "Douglas Adams was an English author.",
+    "Paris is the capital and largest city of France.",
+    "The quick brown fox jumps over the lazy dog.",
+    "Wikidata is a collaboratively edited knowledge base.",
+    "A revision changes one or more statements of an entity.",
+    "deduplication, similarity search and entity linking at scale",
+    "q42 p31 q5",
+    "The 2024 eclipse crossed North America on April 8, 2024.",
+]
 
 
 def _softmax(x: np.ndarray) -> np.ndarray:
@@ -134,10 +163,11 @@ class NumpyTransformerEncoder:
         T = ids.shape[1]
         x = w["tok_emb"][ids] + w["pos_emb"][:T][None, :, :]
         x = _layer_norm(x, w["emb_ln_g"], w["emb_ln_b"])
+        act = _ACTIVATIONS[self.cfg.get("act", "gelu_tanh")]
         for li in range(self.cfg["layers"]):
             x = _layer_norm(x + self._attention(x, mask, li),
                             w[f"l{li}.ln1_g"], w[f"l{li}.ln1_b"])
-            h = _gelu(x @ w[f"l{li}.ffn_in_w"] + w[f"l{li}.ffn_in_b"])
+            h = act(x @ w[f"l{li}.ffn_in_w"] + w[f"l{li}.ffn_in_b"])
             h = h @ w[f"l{li}.ffn_out_w"] + w[f"l{li}.ffn_out_b"]
             x = _layer_norm(x + h, w[f"l{li}.ln2_g"], w[f"l{li}.ln2_b"])
         # masked mean pooling + L2 norm — sentence-transformers' MiniLM head
