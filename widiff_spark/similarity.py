@@ -205,11 +205,24 @@ def knn_lsh_tables(embeddings: DataFrame, queries: DataFrame, dim: int,
             .select("query_id", "vec_id", "cosine", "rank"))
 
 
-def knn_ivf(embeddings: DataFrame, queries: DataFrame, n_cells: int = 16,
-            n_probe: int = 4, k: int = 5) -> DataFrame:
+def knn_ivf(embeddings: DataFrame, queries: DataFrame, n_cells: int = 32,
+            n_probe: int = 8, k: int = 5) -> DataFrame:
     """IVF-style ANN: coarse centroids = the first ``n_cells`` corpus vectors
     (deterministic seed), assignment by max cosine, probe the query's
-    ``n_probe`` best cells only."""
+    ``n_probe`` best cells only.
+
+    Position on the recall/cost curve (measured sweep, BENCH/BASELINE.md):
+    the 32-cell/8-probe default scans ~25% of the corpus per query for
+    94% recall@5 — the same scan fraction the old 16/4 default spent for
+    85%.  Denser probing buys the rest (16/12 -> 96% at 75% scanned);
+    ``ann_knn_lsh_multi`` (99% at ~6x sketch-join cost) is the
+    high-recall choice, this operator the partition-pruned one: each
+    query reads ``n_probe`` cells, so at 100 TB the cell assignment is a
+    write-time partition key and probing is partition pruning.  A Lloyd
+    refinement round on the seeded centroids was measured and does NOT
+    help on isotropic embeddings (recall -1 to -4 points at equal cost —
+    fewer effective cells after refinement; sweep recorded in
+    BENCH/BASELINE.md), so the seed centroids stay."""
     centroids = F.broadcast(
         embeddings.orderBy("vec_id").limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"),
