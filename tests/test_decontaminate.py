@@ -1,0 +1,78 @@
+"""Benchmark decontamination (textops.decontaminate): n-gram collision
+semantics, the broadcast-probe plan shape, and flag thresholds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from widiff_spark import textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    return spark.createDataFrame(
+        [(0, base + " iota kappa"),                  # fully covers bench doc
+         (1, base),                                  # the benchmark text
+         (2, "one two three four five six seven eight nine"),  # clean
+         (3, "short text"),                          # < 8 tokens
+         (4, base.upper() + "   iota")],             # case/space normalized
+        "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "bench_id long, text string")
+
+
+class TestSemantics:
+    def test_hits_and_fraction(self, corpus, bench):
+        out = {r.doc_id: r for r in
+               textops.decontaminate(corpus, bench, n=8).collect()}
+        # doc 1 IS the benchmark text: 1 gram, 1 hit, fraction 1.0
+        assert (out[1].n_grams, out[1].n_hits,
+                out[1].contamination, out[1].is_contaminated) \
+            == (1, 1, 1.0, True)
+        # doc 0 has 3 grams, the first equals the benchmark gram
+        assert (out[0].n_grams, out[0].n_hits) == (3, 1)
+        assert out[0].is_contaminated  # 1/3 >= 0.1
+        # clean doc: grams but no hits
+        assert out[2].n_hits == 0 and not out[2].is_contaminated
+        # short doc: no grams, never flagged
+        assert (out[3].n_grams, out[3].n_hits,
+                out[3].is_contaminated) == (0, 0, False)
+        # normalization: upper-case + extra spaces still collide
+        assert out[4].n_hits == 1
+
+    def test_threshold_dial(self, corpus, bench):
+        strict = {r.doc_id: r for r in textops.decontaminate(
+            corpus, bench, n=8, min_fraction=0.5).collect()}
+        assert strict[1].is_contaminated          # 1.0 >= 0.5
+        assert not strict[0].is_contaminated      # 1/3 < 0.5
+
+    def test_partition_invariant(self, corpus, bench):
+        a = sorted(map(tuple, textops.decontaminate(
+            corpus, bench, n=8).collect()))
+        b = sorted(map(tuple, textops.decontaminate(
+            corpus.repartition(7), bench, n=8).collect()))
+        assert a == b
+
+
+class TestPlan:
+    def test_benchmark_broadcast_corpus_not_shuffled(self, spark):
+        """The eval-set gram side must broadcast (it is MBs vs a 100 TB
+        corpus) and the collision probe must be a LeftSemi broadcast hash
+        join — the corpus never shuffles for the probe itself."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        bench = docs.filter(F.col("doc_id") % 23 == 0) \
+            .select(F.col("doc_id").alias("bench_id"), "text")
+        p = textops.decontaminate(docs, bench) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p and "LeftSemi" in p
+        assert "CartesianProduct" not in p
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -133,3 +133,65 @@ def pack_documents(docs: DataFrame, token_budget: int = 512,
 
     return base.groupBy("shard").applyInPandas(
         pack, "doc_id long, shard int, pack_id int, n_tokens int")
+
+
+def _norm(col="text"):
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def ngram_set(df: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Distinct token n-grams of the normalized text, one row per gram
+    (posexplode over a JVM slide — the dedup.shingles shape generalized
+    to any width).  Documents shorter than ``n`` tokens emit no grams."""
+    toks = F.split(_norm(), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - n + 1)
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(toks, i, n)))
+    return (df.filter(F.size(toks) >= n)
+            .select(id_col, F.explode(F.array_distinct(grams))
+                    .alias("gram")))
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  min_fraction: float = 0.1) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing token
+    ``n``-grams with an evaluation set (the PaLM/GPT-3-style n-gram
+    collision rule every production training pipeline runs before a
+    dump ships).
+
+    Scale shape: the benchmark side is DISTINCT grams of the eval set —
+    eval suites are MBs against a 100 TB corpus, so its gram set is
+    broadcast and the corpus-side probe is a map-side hash join: the
+    corpus is never shuffled, only the (rare) collision rows move into
+    the per-doc count, and per-doc totals (``n_grams``) are computed as
+    a column expression without exploding.  At a benchmark too large to
+    broadcast, drop the hint and the same plan runs as a shuffle join.
+
+    Returns (doc_id, n_grams, n_hits, contamination, is_contaminated):
+    contamination = colliding / total distinct grams of the doc; docs
+    shorter than ``n`` tokens have n_grams = 0 and are never flagged.
+    """
+    bench_grams = F.broadcast(
+        ngram_set(benchmark, "bench_id", n).select("gram").distinct())
+    doc_grams = ngram_set(docs, "doc_id", n)
+    hits = (doc_grams.join(bench_grams, "gram", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    toks = F.split(_norm(), " ")
+    totals = docs.select(
+        "doc_id",
+        F.when(F.size(toks) >= n,
+               F.size(F.array_distinct(F.transform(
+                   F.sequence(F.lit(1), F.size(toks) - n + 1),
+                   lambda i: F.concat_ws(" ", F.slice(toks, i, n))))))
+        .otherwise(F.lit(0)).alias("n_grams"))
+    out = (totals.join(hits, "doc_id", "left")
+           .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+           .withColumn("contamination",
+                       F.when(F.col("n_grams") > 0,
+                              F.round(F.col("n_hits")
+                                      / F.col("n_grams"), 4))
+                       .otherwise(F.lit(0.0)))
+           .withColumn("is_contaminated",
+                       F.col("contamination") >= min_fraction))
+    return out.select("doc_id", "n_grams", "n_hits", "contamination",
+                      "is_contaminated")
