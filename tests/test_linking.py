@@ -76,14 +76,19 @@ class TestLinkMentions:
         assert "BroadcastNestedLoopJoin" not in p
         assert "BroadcastHashJoin" in p  # head dict moves to the data
 
-    def test_default_plan_has_no_python(self, spark):
-        """The default (JVM) scorer keeps the whole linking plan inside
-        codegen — no Arrow/Python eval node anywhere."""
+    def test_scorer_plan_shapes(self, spark):
+        """Default (pandas, the measured-faster scorer): exactly ONE
+        Arrow-batched eval node — the scorer — and never a row-at-a-time
+        Python UDF.  The 'jvm' variant: zero Python anywhere."""
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         p = linking.link_mentions(docs) \
             ._jdf.queryExecution().executedPlan().toString()
-        assert "ArrowEvalPython" not in p
+        assert "ArrowEvalPython" in p
         assert "BatchEvalPython" not in p
+        pj = linking.link_mentions(docs, scorer="jvm") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in pj
+        assert "BatchEvalPython" not in pj
 
     def test_jvm_scorer_matches_pandas_scorer(self, spark):
         """The vectorized array_intersect/array_union Jaccard is

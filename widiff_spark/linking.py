@@ -32,14 +32,29 @@ Spark-first decomposition:
   full match set — only token-1+3 non-adjacent shares are excluded) at
   ~1/vocab the candidate volume of first-token blocking (measured 50x
   at sf0.1: 16M -> ~0.3M scored pairs).  Candidates are scored by
-  token-set Jaccard ENTIRELY JVM-side (``array_intersect`` /
-  ``array_union`` over pre-split token arrays — the F11 featurelib
-  pattern; no Python in the default tail plan); candidates at/above
-  ``threshold`` keep their best label (score DESC, qid ASC —
-  deterministic top-1).  ``scorer='pandas'`` swaps in the Arrow-batched
-  pandas UDF — the model seam for clusters that ship a cross-encoder;
-  the blocking join and top-1 window stay as-is.  The oracle applies
-  the identical bigram restriction and hot-key cap.
+  token-set Jaccard; two scorers exist and BOTH were measured at sf0.1
+  (~5M candidates, best-of-2, round 5):
+
+  ========================  ======  =========================
+  scorer                      wall  notes
+  ========================  ======  =========================
+  'pandas' (DEFAULT)        ~16 s   Arrow-batched set ops
+  'jvm'                     ~24 s   array_intersect/union
+  jvm, contains-reformul.   ~24 s   no better
+  ========================  ======  =========================
+
+  The JVM expression evaluates at ~1.5 us/candidate regardless of
+  formulation (per-row array allocations inside codegen); the Arrow
+  batch transfers + C-speed Python set ops are ~4x cheaper per
+  candidate at this row shape, and the UDF is evaluated exactly once
+  per row (ExtractPythonUDFs), so the measured winner is the default —
+  'jvm' remains for clusters that must keep Python entirely out of the
+  plan (plan-asserted in tests either way), and the pandas scorer is
+  ALSO the model seam: swap the Jaccard for a cross-encoder on clusters
+  that ship one; the blocking join and top-1 window stay as-is.
+  Candidates at/above ``threshold`` keep their best label (score DESC,
+  qid ASC — deterministic top-1).  The oracle applies the identical
+  bigram restriction and hot-key cap.
 
 Every step is deterministic and engine-portable — the driver oracle
 (`kg_link_mentions`) re-derives dictionary, mentions, head/tail split,
@@ -115,30 +130,49 @@ def _bigrams(col):
 def tail_candidates(rest: DataFrame, tail_dict: DataFrame,
                     max_block_df: int | None = DEFAULT_MAX_BLOCK_DF
                     ) -> DataFrame:
-    """Blocked (doc_id, mention, label, qid_num) candidate pairs: mention
-    and tail label share a consecutive token bigram whose tail-dictionary
-    document frequency is <= ``max_block_df``.  Exposed so tests can
-    assert candidate volume stays sub-quadratic on adversarial corpora.
+    """Blocked (doc_id, mention, label, qid_num, _mtoks, _ltoks)
+    candidate pairs: mention and tail label share a consecutive token
+    bigram whose tail-dictionary document frequency is <=
+    ``max_block_df``.  Exposed so tests can assert candidate volume
+    stays sub-quadratic on adversarial corpora.
+
+    Two deliberate cost choices, both measured at sf0.1 (BENCH notes):
+
+    * NO distinct.  Two consecutive bigrams can only both match when
+      every token matches in order — i.e. mention == label — so the
+      duplicates are identical rows that the downstream top-1 window
+      dedupes deterministically; a distinct here was a pure extra
+      shuffle of the widest intermediate (measured ~40% of tail cost).
+    * Token arrays (``_mtoks``/``_ltoks``) are split ONCE per mention /
+      per label BEFORE the explode-join and carried through it, so the
+      JVM scorer never runs a per-candidate regex split (candidates
+      outnumber mentions ~20x).
 
     The blocking join carries no broadcast hint — tail_dict is O(corpus)
     (~one label per distinct title), so a forced broadcast OOMs at scale;
     AQE promotes the join to broadcast at runtime when the side is small."""
-    tailb = tail_dict.withColumn("_bk", F.explode(_bigrams("label")))
+    tailb = (tail_dict
+             .select("label", "qid_num",
+                     F.split(F.col("label"), " ").alias("_ltoks"))
+             .withColumn("_bk", F.explode(_bigrams("label"))))
     if max_block_df is not None:
         keep = (tailb.groupBy("_bk").count()
                 .filter(F.col("count") <= max_block_df).select("_bk"))
         tailb = tailb.join(keep, "_bk", "left_semi")
-    return (rest.withColumn("_bk", F.explode(_bigrams("mention")))
+    return (rest
+            .select("doc_id", "mention",
+                    F.split(F.col("mention"), " ").alias("_mtoks"))
+            .withColumn("_bk", F.explode(_bigrams("mention")))
             .join(tailb, "_bk")
-            .select("doc_id", "mention", "label", "qid_num")
-            .distinct())  # a pair can share both bigrams
+            .select("doc_id", "mention", "label", "qid_num",
+                    "_mtoks", "_ltoks"))
 
 
 def link_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH,
                   head_k: int = DEFAULT_HEAD_K,
                   threshold: float = DEFAULT_THRESHOLD,
                   max_block_df: int | None = DEFAULT_MAX_BLOCK_DF,
-                  scorer: str = "jvm") -> DataFrame:
+                  scorer: str = "pandas") -> DataFrame:
     """(doc_id, mention, qid, score, link_path) — head exact links at
     score 1.0 plus tail fuzzy links at the best Jaccard >= threshold.
 
@@ -152,10 +186,13 @@ def link_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH,
     (``DEFAULT_MAX_BLOCK_DF``); ``None`` is the explicit opt-out for
     corpora known to have no hot blocking keys.
 
-    ``scorer``: ``'jvm'`` (default) computes the token-set Jaccard with
-    ``array_intersect``/``array_union`` inside whole-stage codegen;
-    ``'pandas'`` routes through the Arrow-batched ``_jaccard_score`` UDF
-    — identical scores, kept as the swap-in seam for model scorers."""
+    ``scorer``: ``'pandas'`` (default — measured 1.5x faster at sf0.1,
+    module docstring) scores through the Arrow-batched ``_jaccard_score``
+    UDF, which doubles as the swap-in seam for model scorers;  ``'jvm'``
+    computes the identical scores with ``array_intersect`` /
+    ``array_union`` over the pre-split token arrays inside whole-stage
+    codegen — zero Python in the plan (plan-asserted) for clusters that
+    require it."""
     dic = label_dictionary(docs, width)
     head = dic.orderBy(F.desc("n_docs"), F.asc("label")).limit(head_k)
     tail_dict = dic.join(head.select("label"), "label", "left_anti")
@@ -172,15 +209,14 @@ def link_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH,
                          mentions["mention"] == head["label"], "left_anti")
     blocked = tail_candidates(rest, tail_dict, max_block_df)
     if scorer == "jvm":
-        mt, lt = F.split(F.col("mention"), " "), F.split(F.col("label"), " ")
         jac = F.round(
-            F.size(F.array_intersect(mt, lt)).cast("double")
-            / F.size(F.array_union(mt, lt)), 4)
+            F.size(F.array_intersect("_mtoks", "_ltoks")).cast("double")
+            / F.size(F.array_union("_mtoks", "_ltoks")), 4)
         cand = blocked.withColumn("score", jac)
     else:
         cand = blocked.withColumn("score",
                                   _jaccard_score("mention", "label"))
-    cand = cand.filter(F.col("score") >= threshold)
+    cand = cand.drop("_mtoks", "_ltoks").filter(F.col("score") >= threshold)
     w = Window.partitionBy("doc_id", "mention") \
               .orderBy(F.desc("score"), F.asc("qid_num"))
     tail_links = (cand.withColumn("_rk", F.row_number().over(w))
