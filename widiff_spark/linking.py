@@ -51,7 +51,7 @@ Spark-first decomposition:
   'jvm' remains for clusters that must keep Python entirely out of the
   plan (plan-asserted in tests either way), and the pandas scorer is
   ALSO the model seam: swap the Jaccard for a cross-encoder on clusters
-  that ship one; the blocking join and top-1 window stay as-is.
+  that ship one; the blocking join and top-1 aggregate stay as-is.
   Candidates at/above ``threshold`` keep their best label (score DESC,
   qid ASC — deterministic top-1).  The oracle applies the identical
   bigram restriction and hot-key cap.
@@ -64,7 +64,7 @@ Jaccard scores, and the top-1 choice in DuckDB SQL from scratch.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
@@ -140,7 +140,7 @@ def tail_candidates(rest: DataFrame, tail_dict: DataFrame,
 
     * NO distinct.  Two consecutive bigrams can only both match when
       every token matches in order — i.e. mention == label — so the
-      duplicates are identical rows that the downstream top-1 window
+      duplicates are identical rows that the downstream top-1 aggregate
       dedupes deterministically; a distinct here was a pure extra
       shuffle of the widest intermediate (measured ~40% of tail cost).
     * Token arrays (``_mtoks``/``_ltoks``) are split ONCE per mention /
@@ -217,11 +217,18 @@ def link_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH,
         cand = blocked.withColumn("score",
                                   _jaccard_score("mention", "label"))
     cand = cand.drop("_mtoks", "_ltoks").filter(F.col("score") >= threshold)
-    w = Window.partitionBy("doc_id", "mention") \
-              .orderBy(F.desc("score"), F.asc("qid_num"))
-    tail_links = (cand.withColumn("_rk", F.row_number().over(w))
-                  .filter(F.col("_rk") == 1)
-                  .select("doc_id", "mention", "qid_num", "score",
+    # deterministic top-1 (score DESC, qid ASC) as max(struct(score, -qid))
+    # — ONE hash aggregate with map-side partial combine instead of a
+    # sort-based row_number window (measured 17.9 -> 13.0 s at sf0.1;
+    # at 100 TB the partial combine also collapses candidates before the
+    # shuffle, which a window's full sort cannot)
+    tail_links = (cand.groupBy("doc_id", "mention")
+                  .agg(F.max(F.struct(
+                      F.col("score"),
+                      (-F.col("qid_num")).alias("_nq"))).alias("_b"))
+                  .select("doc_id", "mention",
+                          (-F.col("_b._nq")).alias("qid_num"),
+                          F.col("_b.score").alias("score"),
                           F.lit("tail").alias("link_path")))
 
     return (head_links.unionByName(tail_links)
