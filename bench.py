@@ -173,6 +173,12 @@ def main() -> None:
     best_of("sample_stratified",
             lambda: sampling.stratified_sample(docs_tbl, "lang", 20).count())
 
+    from widiff_spark import textops
+    bench_docs = docs_tbl.filter("doc_id % 23 = 0") \
+        .selectExpr("doc_id as bench_id", "text")
+    best_of("text_decontaminate",
+            lambda: textops.decontaminate(docs_tbl, bench_docs).count())
+
     from widiff_spark import linking
     best_of("kg_link_mentions",
             lambda: linking.link_mentions(docs_tbl).count())
