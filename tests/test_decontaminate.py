@@ -76,3 +76,36 @@ class TestPlan:
         assert "BroadcastHashJoin" in p and "LeftSemi" in p
         assert "CartesianProduct" not in p
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+class TestVocabulary:
+    def test_tf_df_and_rank(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a a b"), (1, "a c"), (2, "b B  c")],
+            "doc_id long, text string")
+        out = {r.token: r for r in textops.vocabulary(docs).collect()}
+        # tf counts occurrences, df counts docs; 'B' normalizes to 'b'
+        assert (out["a"].tf, out["a"].df) == (3, 2)
+        assert (out["b"].tf, out["b"].df) == (3, 2)
+        assert (out["c"].tf, out["c"].df) == (2, 2)
+        # rank: tf DESC then token ASC -> a(3), b(3), c(2)
+        assert [r.token for r in sorted(out.values(), key=lambda r: r.rank)] \
+            == ["a", "b", "c"]
+
+    def test_top_k_cuts_deterministically(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"tok{i:02d} common") for i in range(10)],
+            "doc_id long, text string")
+        out = textops.vocabulary(docs, top_k=3).collect()
+        assert len(out) == 3
+        assert out[0].token == "common" and out[0].tf == 10
+        # ties at tf=1 break by token ASC
+        assert [r.token for r in sorted(out, key=lambda r: r.rank)[1:]] \
+            == ["tok00", "tok01"]
+
+    def test_plan_partial_aggregation_no_global_sort_exchange(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = textops.vocabulary(docs) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "partial" in p.lower()       # map-side combine present
+        assert "TakeOrderedAndProject" in p  # ordered-limit, no full sort

@@ -195,3 +195,28 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                        F.col("contamination") >= min_fraction))
     return out.select("doc_id", "n_grams", "n_hits", "contamination",
                       "is_contaminated")
+
+
+def vocabulary(docs: DataFrame, top_k: int = 200) -> DataFrame:
+    """Corpus vocabulary: term frequency + document frequency, top-k by
+    (tf DESC, token ASC) with a 1-based rank — the tokenizer-training /
+    BPE-seed statistic every corpus pipeline computes.
+
+    Scale shape: the tf side is canonical wordcount — one narrow explode
+    feeding a hash aggregate with map-side partial combine; adding
+    ``df`` (docs containing the token) makes it a two-phase distinct
+    aggregate (one extra exchange over (token, doc_id) — the price of an
+    exact df; swap in approx_count_distinct at 100 TB if 2% error is
+    acceptable).  The top-k is ordered-limit (TakeOrdered — no global
+    sort shuffle), and ranking happens on the k survivors only.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id",
+                      F.explode(F.split(_norm(), " ")).alias("token"))
+    vocab = (tok.groupBy("token")
+             .agg(F.count("*").alias("tf"),
+                  F.countDistinct("doc_id").alias("df")))
+    top = vocab.orderBy(F.desc("tf"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
