@@ -178,6 +178,14 @@ def main() -> None:
         .selectExpr("doc_id as bench_id", "text")
     best_of("text_decontaminate",
             lambda: textops.decontaminate(docs_tbl, bench_docs).count())
+    best_of("text_unigram_logprob",
+            lambda: textops.unigram_logprob(docs_tbl).count())
+    best_of("sample_temperature",
+            lambda: sampling.sample_weighted(
+                docs_tbl,
+                sampling.temperature_weights(docs_tbl, "source", alpha=0.5,
+                                             target_rows=250),
+                "source").count())
 
     from widiff_spark import linking
     best_of("kg_link_mentions",

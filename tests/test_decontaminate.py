@@ -109,3 +109,41 @@ class TestVocabulary:
             ._jdf.queryExecution().executedPlan().toString()
         assert "partial" in p.lower()       # map-side combine present
         assert "TakeOrderedAndProject" in p  # ordered-limit, no full sort
+
+
+class TestUnigramLogprob:
+    def test_hand_computed_lm(self, spark):
+        """Corpus 'a a b' / 'c': LM is p(a)=2/4, p(b)=1/4, p(c)=1/4.
+        doc0 mean = (2*log10(.5)+log10(.25))/3, doc1 = log10(.25)."""
+        import math
+        docs = spark.createDataFrame(
+            [(0, "a a b"), (1, "c")], "doc_id long, text string")
+        out = {r.doc_id: r for r in textops.unigram_logprob(docs).collect()}
+        exp0 = (2 * math.log10(0.5) + math.log10(0.25)) / 3
+        assert out[0].n_tokens == 3
+        assert abs(out[0].mean_logprob - round(exp0, 4)) < 1e-9
+        assert out[1].n_tokens == 1
+        assert abs(out[1].mean_logprob - round(math.log10(0.25), 4)) < 1e-9
+
+    def test_rare_tokens_score_lower(self, spark):
+        """A doc of corpus-rare tokens must score below a doc of
+        boilerplate — the fluency dial the filter cuts on."""
+        rows = [(i, "the common boilerplate line") for i in range(20)]
+        rows.append((100, "zxqv kjwp unseen gibberish"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r.mean_logprob
+               for r in textops.unigram_logprob(docs).collect()}
+        assert out[100] < out[0]
+
+    def test_partition_invariant(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = sorted(map(tuple, textops.unigram_logprob(docs).collect()))
+        b = sorted(map(tuple, textops.unigram_logprob(
+            docs.repartition(7)).collect()))
+        assert a == b
+
+    def test_no_python_in_plan(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = textops.unigram_logprob(docs) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

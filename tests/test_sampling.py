@@ -125,3 +125,69 @@ class TestPackDocuments:
         b = textops.pack_documents(docs.repartition(7)).toPandas() \
             .sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestTemperatureMix:
+    """temperature_weights + sample_weighted (the alpha-flattened
+    data-mixing step of corpus assembly)."""
+
+    def test_alpha_one_keeps_natural_proportions(self, docs):
+        w = {r.source: r for r in sampling.temperature_weights(
+            docs, "source", alpha=1.0).collect()}
+        total = sum(r.n_docs for r in w.values())
+        for r in w.values():
+            assert abs(r.weight - r.n_docs / total) < 1e-5
+            assert r.keep_fraction == 1.0  # target=total, natural mix
+
+    def test_alpha_zero_equalizes_groups(self, docs):
+        rows = sampling.temperature_weights(docs, "source",
+                                            alpha=0.0).collect()
+        assert all(abs(r.weight - 1.0 / len(rows)) < 1e-5 for r in rows)
+
+    def test_weights_sum_to_one(self, docs):
+        rows = sampling.temperature_weights(docs, "source",
+                                            alpha=0.5).collect()
+        assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+
+    def test_flattening_is_monotone_in_alpha(self, spark):
+        """Lower alpha moves weight from the largest group to the
+        smallest — the whole point of temperature mixing.  (Needs a
+        skewed corpus; the sf0.001 sources are balanced.)"""
+        skewed = spark.createDataFrame(
+            [(i, "big" if i < 90 else "small") for i in range(100)],
+            "doc_id long, source string")
+
+        def spread(alpha):
+            ws = [r.weight for r in sampling.temperature_weights(
+                skewed, "source", alpha=alpha).collect()]
+            return max(ws) - min(ws)
+        assert spread(0.3) < spread(0.7) < spread(1.0)
+
+    def test_sample_weighted_deterministic_and_partition_invariant(
+            self, docs):
+        w = sampling.temperature_weights(docs, "source", alpha=0.5,
+                                         target_rows=100)
+        a = _ids(sampling.sample_weighted(docs, w, "source"))
+        b = _ids(sampling.sample_weighted(docs.repartition(13), w,
+                                          "source"))
+        assert a == b and 0 < len(a) < docs.count()
+
+    def test_full_fraction_group_keeps_every_row(self, spark):
+        """keep_fraction >= 1 must hit the 'g' sentinel, not a clamped
+        hex threshold that drops 'ffffffff' hashes."""
+        docs = spark.createDataFrame(
+            [(i, "only") for i in range(50)], "doc_id long, source string")
+        w = sampling.temperature_weights(docs, "source", alpha=0.5)
+        assert sampling.sample_weighted(docs, w, "source").count() == 50
+
+    def test_map_only_plan_broadcast_weights(self, docs):
+        """The corpus side must not shuffle: broadcast weights join +
+        filter only — at 100 TB a hash-partition exchange here would
+        dominate the job."""
+        w = sampling.temperature_weights(docs, "source", alpha=0.5,
+                                         target_rows=100)
+        plan = sampling.sample_weighted(docs, w, "source") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        corpus_side = plan.split("BroadcastExchange")[0]
+        assert "Exchange hashpartitioning" not in corpus_side

@@ -88,3 +88,51 @@ def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
                                                F.col(key_col))
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= n_per_stratum).drop("_rk"))
+
+
+def temperature_weights(df: DataFrame, group_col: str = "source",
+                        alpha: float = 0.5,
+                        target_rows: int | None = None) -> DataFrame:
+    """Temperature-flattened mixture weights per group — the data-mixing
+    step of corpus assembly (alpha=1 keeps natural proportions, alpha=0
+    equalizes groups; 0.3-0.7 is the usual multilingual flattening):
+
+        p_g = n_g^alpha / sum_g n_g^alpha
+        keep_fraction_g = min(1, target_rows * p_g / n_g)
+
+    One count aggregate + a broadcast 1-row normalizer (no collect).
+    Returns (group, n_docs, weight, keep_fraction) — feed to
+    ``sample_weighted`` to materialize the resampled corpus."""
+    stats = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    norm = stats.agg(F.sum(F.pow("n_docs", F.lit(alpha))).alias("_z"),
+                     F.sum("n_docs").alias("_total"))
+    n_target = F.lit(target_rows) if target_rows is not None \
+        else F.col("_total")
+    w = F.pow("n_docs", F.lit(alpha)) / F.col("_z")
+    return (stats.crossJoin(F.broadcast(norm))
+            .select(group_col, "n_docs",
+                    F.round(w, 6).alias("weight"),
+                    F.round(F.least(F.lit(1.0),
+                                    n_target * w / F.col("n_docs")), 6)
+                    .alias("keep_fraction")))
+
+
+def sample_weighted(df: DataFrame, weights: DataFrame,
+                    group_col: str = "source",
+                    key_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Apply per-group keep fractions (``temperature_weights`` output)
+    with the deterministic md5-threshold rule: keep a row iff its hash
+    prefix sorts below the group's fraction threshold, computed JVM-side
+    from the joined ``keep_fraction`` column (per-group thresholds are
+    data-dependent, so the hex threshold is formatted in-plan rather
+    than precomputed driver-side).  Fractions >= 1 keep every row via
+    the 'g' sentinel (sorts above any hex digit).  Broadcast weights
+    join + map-only filter — no shuffle of the corpus."""
+    thr = F.when(F.col("keep_fraction") >= 1.0, F.lit("g")).otherwise(
+        F.lower(F.lpad(F.hex(F.floor(F.col("keep_fraction")
+                                     * F.lit(float(HEX_SPACE)))
+                             .cast("bigint")), 8, "0")))
+    return (df.join(F.broadcast(weights.select(group_col, "keep_fraction")),
+                    group_col)
+            .filter(_hash_key(key_col, salt) < thr)
+            .drop("keep_fraction"))

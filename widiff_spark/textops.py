@@ -220,3 +220,28 @@ def vocabulary(docs: DataFrame, top_k: int = 200) -> DataFrame:
     top = vocab.orderBy(F.desc("tf"), F.asc("token")).limit(top_k)
     w = Window.orderBy(F.desc("tf"), F.asc("token"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document mean unigram log10-probability under the corpus's OWN
+    unigram LM — the CCNet/Gopher-style fluency dial for corpus
+    filtering, self-contained (no external LM): a document of rare
+    tokens scores low, boilerplate scores high; cut both tails.
+
+    Scale shape: the LM is the wordcount aggregate (map-side combine);
+    the total-token normalizer joins in as a broadcast 1-row frame (no
+    collect); scoring joins tokens to the LM on token — at 100 TB the LM
+    is ~vocabulary-sized, so AQE picks broadcast vs shuffle join by its
+    actual size (no hint) — and the per-doc mean is one partial+final
+    aggregate.  Returns (doc_id, n_tokens, mean_logprob)."""
+    tok = docs.select("doc_id",
+                      F.explode(F.split(_norm(), " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("_total"))
+    lm = (vocab.crossJoin(F.broadcast(total))
+          .select("token",
+                  F.log10(F.col("tf") / F.col("_total")).alias("logp")))
+    return (tok.join(lm, "token")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg("logp"), 4).alias("mean_logprob")))
