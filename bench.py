@@ -180,6 +180,8 @@ def main() -> None:
             lambda: textops.decontaminate(docs_tbl, bench_docs).count())
     best_of("text_unigram_logprob",
             lambda: textops.unigram_logprob(docs_tbl).count())
+    best_of("text_repetition",
+            lambda: textops.repetition_signals(docs_tbl).count())
     best_of("sample_temperature",
             lambda: sampling.sample_weighted(
                 docs_tbl,

@@ -147,3 +147,70 @@ class TestUnigramLogprob:
         p = textops.unigram_logprob(docs) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+class TestRepetitionSignals:
+    def test_hand_computed(self, spark):
+        """'a b a b a' -> bigrams [ab, ba, ab, ba]: top=ab(2)/4=0.5,
+        all 4 occurrences are duplicates -> dup=1.0; ttr=2/5."""
+        docs = spark.createDataFrame(
+            [(0, "a b a b a"), (1, "x y"), (2, "solo")],
+            "doc_id long, text string")
+        out = {r.doc_id: r
+               for r in textops.repetition_signals(docs).collect()}
+        assert out[0].type_token_ratio == 0.4
+        assert out[0].top_bigram_frac == 0.5
+        assert out[0].dup_bigram_frac == 1.0
+        # 2 tokens -> one bigram, trivially top=1.0, dup=0
+        assert (out[1].top_bigram_frac, out[1].dup_bigram_frac) == (1.0, 0.0)
+        # under 2 tokens -> no bigrams, fractions 0 (not null)
+        assert (out[2].top_bigram_frac, out[2].dup_bigram_frac) == (0.0, 0.0)
+
+    def test_partition_invariant(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = sorted(map(tuple, textops.repetition_signals(docs).collect()))
+        b = sorted(map(tuple, textops.repetition_signals(
+            docs.repartition(7)).collect()))
+        assert a == b
+
+    def test_no_python_in_plan(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = textops.repetition_signals(docs) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+        assert "partial" in p.lower()  # map-side combine on the counts
+
+
+class TestRedactPii:
+    def test_redacts_and_counts(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "mail Bob.Smith+x@corp.example.ORG now"),
+             (1, "host 10.0.0.1 and 192.168.255.3"),
+             (2, "call 555-010-1234 or 555 010 9999"),
+             (3, "clean text only")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in textops.redact_pii(docs).collect()}
+        assert out[0].n_email == 1 and "<EMAIL>" in out[0].text \
+            and "@" not in out[0].text
+        assert out[1].n_ipv4 == 2 and out[1].text.count("<IP>") == 2
+        assert out[2].n_phone == 2 and out[2].text.count("<PHONE>") == 2
+        assert out[3].text == "clean text only"
+        assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+
+    def test_email_pass_shields_numeric_passes(self, spark):
+        """Counts are taken on the text each pass sees: the digits inside
+        a redacted email must not feed the ip/phone counters."""
+        docs = spark.createDataFrame(
+            [(0, "x 555-010-1234@999.888.777.666.example.com y")],
+            "doc_id long, text string")
+        r = textops.redact_pii(docs).collect()[0]
+        assert r.n_email == 1
+        assert (r.n_ipv4, r.n_phone) == (0, 0)
+        assert r.text == "x <EMAIL> y"
+
+    def test_map_only_plan(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = textops.redact_pii(docs) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p  # zero shuffle
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -245,3 +245,76 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
                  F.round(F.avg("logp"), 4).alias("mean_logprob")))
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition battery, token-based: type-token ratio,
+    the share of bigram occurrences taken by the single most frequent
+    bigram, and the share of bigram occurrences that are duplicates
+    (bigrams appearing more than once).  High dup/top fractions flag
+    boilerplate and degenerate repetition; near-zero type-token ratio
+    flags keyword stuffing.  Cut on all three in corpus filtering.
+
+    Scale shape: the distinct/size signals are per-row array algebra
+    (zero shuffle); the bigram counts are wordcount shape — explode,
+    partial-aggregated groupBy(doc_id, gram), then one per-doc rollup
+    on doc_id.  Both shuffles are keyed by doc_id(+gram): no skew axis
+    beyond pathological single-doc size, and no cross-doc state.
+
+    Returns (doc_id, n_tokens, type_token_ratio, top_bigram_frac,
+    dup_bigram_frac); docs under 2 tokens report 0 bigram fractions."""
+    toks = F.split(_norm(), " ")
+    base = docs.select("doc_id", toks.alias("toks"))
+    per_row = base.select(
+        "doc_id", F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"))
+    grams = base.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 2)))).alias("gram"))
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    rollup = counts.groupBy("doc_id").agg(
+        F.max("c").alias("_top"),
+        F.sum("c").alias("_n_bi"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_dup"))
+    return (per_row.join(rollup, "doc_id", "left")
+            .select(
+                "doc_id", "n_tokens",
+                F.round(F.col("n_distinct")
+                        / F.greatest("n_tokens", F.lit(1)), 4)
+                .alias("type_token_ratio"),
+                F.round(F.coalesce(F.col("_top") / F.col("_n_bi"),
+                                   F.lit(0.0)), 4).alias("top_bigram_frac"),
+                F.round(F.coalesce(F.col("_dup") / F.col("_n_bi"),
+                                   F.lit(0.0)), 4).alias("dup_bigram_frac")))
+
+
+# (name, pattern, replacement): patterns restricted to the Java-regex /
+# RE2 common subset (no lookaround, ASCII \b) so the DuckDB oracle runs
+# them verbatim; applied in order, counting on the CURRENT text so
+# overlapping matches are never double-counted
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub before a corpus ships: replace emails, IPv4 addresses,
+    and phone-shaped numbers with typed sentinels, reporting how many of
+    each were redacted per document.  Sequential per-pattern passes
+    (email first, so address domains never feed the later numeric
+    patterns); counts are taken on the text as each pass sees it.
+
+    Pure JVM regexp_count + regexp_replace over one narrow projection —
+    map-only, zero shuffle, whole-stage codegen at any corpus size."""
+    cur = F.col(text_col)
+    cols = [F.col(c) for c in docs.columns if c != text_col]
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat))
+                      .cast("int").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select(*cols, *counts, cur.alias(text_col))
