@@ -168,6 +168,8 @@ def main() -> None:
     best_of("dedup_components",
             lambda: dedup.duplicate_components(docs_tbl,
                                                min_jaccard=0.5).count())
+    best_of("dedup_substring_spans",
+            lambda: dedup.duplicate_spans(docs_tbl, k=10).count())
 
     from widiff_spark import sampling
     best_of("sample_stratified",

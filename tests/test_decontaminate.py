@@ -214,3 +214,52 @@ class TestRedactPii:
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in p  # zero shuffle
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+class TestDuplicateSpans:
+    def test_hand_computed_merge(self, spark):
+        """Docs 0/1 share 'one two three four five'; with k=3 the dup
+        grams sit at p=2,3,4 in doc 0 -> ONE merged span of 5 tokens."""
+        from widiff_spark import dedup
+
+        docs = spark.createDataFrame(
+            [(0, "A one two three four five B C D"),
+             (1, "x y one two three four five z"),
+             (2, "totally unique words here")],
+            "doc_id long, text string")
+        out = {r.doc_id: r
+               for r in dedup.duplicate_spans(docs, k=3).collect()}
+        assert (out[0].n_dup_spans, out[0].dup_tokens) == (1, 5)
+        assert (out[1].n_dup_spans, out[1].dup_tokens) == (1, 5)
+        assert (out[2].n_dup_spans, out[2].dup_tokens) == (0, 0)
+        assert out[0].dup_token_frac == round(5 / 9, 4)
+
+    def test_disjoint_runs_stay_separate_spans(self, spark):
+        """Two shared runs split by unique middles must NOT merge."""
+        from widiff_spark import dedup
+
+        docs = spark.createDataFrame(
+            [(0, "p q r UNIQ0 MID0 HERE0 x y z"),
+             (1, "p q r UNIQ1 MID1 HERE1 x y z")],
+            "doc_id long, text string")
+        out = dedup.duplicate_spans(docs, k=3).collect()[0]
+        assert out.n_dup_spans == 2 and out.dup_tokens == 6
+
+    def test_partition_invariant(self, spark):
+        from widiff_spark import dedup
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = sorted(map(tuple, dedup.duplicate_spans(docs).collect()))
+        b = sorted(map(tuple,
+                       dedup.duplicate_spans(docs.repartition(7)).collect()))
+        assert a == b
+
+    def test_no_python_no_cartesian(self, spark):
+        from widiff_spark import dedup
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = dedup.duplicate_spans(docs) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+        assert "CartesianProduct" not in p
+        assert "LeftSemi" in p  # position marking is the semi-join

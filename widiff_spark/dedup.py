@@ -337,3 +337,57 @@ def duplicate_components(docs: DataFrame, min_jaccard: float = 0.5,
             .select("doc_id", "component_id", "component_size",
                     (F.col("doc_id") == F.col("component_id"))
                     .alias("is_canonical")))
+
+
+def duplicate_spans(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Exact duplicated-substring spans (the Lee et al. 2022 substring-
+    dedup rule: training text repeated verbatim elsewhere in the corpus
+    should be cut at the SPAN level, not the document level).  A span is
+    a maximal run of ``k``-token grams that each occur in more than one
+    document; contiguous/overlapping duplicated grams merge into one
+    span.
+
+    Scale shape: positional grams are the wordcount stream (explode, one
+    row per token position); cross-document grams come from one partial-
+    aggregated count distinct; marking positions is a left-semi equi-join
+    (hot boilerplate grams hit each position at most once, so document
+    frequency cannot re-introduce a quadratic); span merging is a per-doc
+    window — with equal-length intervals the preceding-max end IS the
+    previous gram's end, so one lag() suffices, no interval tree.
+
+    Returns (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_token_frac);
+    documents with no duplicated grams report zeros."""
+    toks = F.split(_norm_text(F.col("text")), " ")
+    base = docs.select("doc_id", toks.alias("toks"))
+    sizes = base.select("doc_id", F.size("toks").alias("n_tokens"))
+    pos = (base.filter(F.size("toks") >= k)
+           .select("doc_id", F.posexplode(F.transform(
+               F.sequence(F.lit(1), F.size("toks") - k + 1),
+               lambda i: F.concat_ws(" ", F.slice("toks", i, k))))
+               .alias("p0", "gram"))
+           .select("doc_id", (F.col("p0") + 1).alias("p"), "gram"))
+    dup_grams = (pos.groupBy("gram")
+                 .agg(F.count_distinct("doc_id").alias("nd"))
+                 .filter(F.col("nd") > 1).select("gram"))
+    marked = pos.join(dup_grams, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    spans = (marked
+             .withColumn("_new", F.when(
+                 F.col("p") > F.lag("p").over(w) + k, 1)
+                 .when(F.lag("p").over(w).isNull(), 1).otherwise(0))
+             .withColumn("_span", F.sum("_new").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy("doc_id", "_span")
+             .agg((F.max("p") - F.min("p") + k).alias("span_tokens")))
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"))
+    return (sizes.join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("int")
+                    .alias("n_dup_spans"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("int")
+                    .alias("dup_tokens"),
+                    F.round(F.coalesce(F.col("dup_tokens"), F.lit(0))
+                            / F.greatest("n_tokens", F.lit(1)), 4)
+                    .alias("dup_token_frac")))
