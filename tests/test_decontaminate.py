@@ -263,3 +263,46 @@ class TestDuplicateSpans:
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
         assert "CartesianProduct" not in p
         assert "LeftSemi" in p  # position marking is the semi-join
+
+
+class TestDsirLogratio:
+    def test_target_lookalikes_score_higher(self, spark):
+        """Raw docs resembling the target domain must outscore the
+        rest — the selection property DSIR exists for."""
+        target_like = [(i, "alpha beta gamma delta epsilon") for i in range(10)]
+        other = [(100 + i, "zeta eta theta iota kappa") for i in range(10)]
+        raw = spark.createDataFrame(target_like + other,
+                                    "doc_id long, text string")
+        tgt = spark.createDataFrame(
+            [(1000 + i, "alpha beta gamma delta epsilon") for i in range(5)],
+            "doc_id long, text string")
+        out = {r.doc_id: r.dsir_score
+               for r in textops.dsir_logratio(raw, tgt).collect()}
+        assert out[0] > out[100]
+
+    def test_gramless_docs_score_zero(self, spark):
+        raw = spark.createDataFrame(
+            [(0, "one-token"), (1, "two tokens here")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               textops.dsir_logratio(raw, raw).collect()}
+        assert (out[0].n_grams, out[0].dsir_score) == (0, 0.0)
+        assert out[1].n_grams == 2
+
+    def test_partition_invariant(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        tgt = docs.filter("lang = 'en'")
+        a = sorted(map(tuple, textops.dsir_logratio(docs, tgt).collect()))
+        b = sorted(map(tuple, textops.dsir_logratio(
+            docs.repartition(7), tgt).collect()))
+        assert a == b
+
+    def test_lm_broadcasts_no_python(self, spark):
+        """The B-row LM must broadcast onto the gram stream — a hash
+        exchange of the corpus grams for a 1024-row join would be the
+        scale bug."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = textops.dsir_logratio(docs, docs.filter("lang = 'en'")) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

@@ -318,3 +318,66 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
                       .cast("int").alias(f"n_{name}"))
         cur = F.regexp_replace(cur, pat, repl)
     return docs.select(*cols, *counts, cur.alias(text_col))
+
+
+def _hashed_bigrams(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """Token-bigram occurrences hashed into ``n_buckets`` (md5-prefix
+    mod, portable to any engine); one row per occurrence."""
+    toks = F.split(_norm(), " ")
+    grams = F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    return (docs.filter(F.size(toks) >= 2)
+            .select("doc_id", F.explode(grams).alias("gram"))
+            .select("doc_id",
+                    (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+                     .cast("long") % n_buckets).alias("bucket")))
+
+
+def dsir_logratio(raw: DataFrame, target: DataFrame,
+                  n_buckets: int = 1024) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, Data Selection via
+    Importance Resampling): per-document log-likelihood ratio of a
+    hashed-bigram bag under the TARGET corpus's feature distribution vs
+    the RAW corpus's, add-1 smoothed:
+
+        score(d) = sum_{g in d} [ ln p_target(bucket(g))
+                                  - ln p_raw(bucket(g)) ]
+
+    High scores mark raw documents that look like the target domain;
+    resample raw proportionally to exp(score) (or top-k) to shift the
+    mix.  Bigrams only (the paper uses uni+bi; one width keeps the
+    oracle exact without changing the selection behavior on word-soup).
+
+    Scale shape: both corpora stream through the wordcount-shaped bucket
+    count (partial aggregated, B rows out); the two LMs full-outer-merge
+    into ONE B-row frame that broadcasts onto the raw gram stream — so
+    the only data-sized shuffles are the two bucket counts and the final
+    per-doc sum, all keyed by bucket/doc_id.  At 10^12 docs raise
+    ``n_buckets`` (10^5-10^6 rows still broadcasts in MBs).
+
+    Returns (doc_id, n_grams, dsir_score); gram-less docs score 0."""
+    rg = _hashed_bigrams(raw, n_buckets)
+    tg = _hashed_bigrams(target, n_buckets)
+    rc = rg.groupBy("bucket").agg(F.count("*").alias("c_raw"))
+    tc = tg.groupBy("bucket").agg(F.count("*").alias("c_tgt"))
+    totals = (rc.agg(F.sum("c_raw").alias("_tr"))
+              .crossJoin(tc.agg(F.sum("c_tgt").alias("_tt"))))
+    lm = (rc.join(tc, "bucket", "full_outer")
+          .select("bucket", F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+                  F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"))
+          .crossJoin(F.broadcast(totals))
+          .select("bucket",
+                  (F.log((F.col("c_tgt") + 1)
+                         / (F.col("_tt") + n_buckets))
+                   - F.log((F.col("c_raw") + 1)
+                           / (F.col("_tr") + n_buckets))).alias("lr")))
+    per_doc = (rg.join(F.broadcast(lm), "bucket")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum("lr").alias("_score")))
+    return (raw.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_grams", F.lit(0)).cast("int")
+                    .alias("n_grams"),
+                    F.round(F.coalesce("_score", F.lit(0.0)), 4)
+                    .alias("dsir_score")))
