@@ -184,6 +184,8 @@ def main() -> None:
             lambda: textops.unigram_logprob(docs_tbl).count())
     best_of("text_repetition",
             lambda: textops.repetition_signals(docs_tbl).count())
+    best_of("text_corpus_filter",
+            lambda: textops.corpus_filter(docs_tbl).count())
     best_of("text_dsir_scores",
             lambda: textops.dsir_logratio(
                 docs_tbl, docs_tbl.filter("lang = 'en'")).count())

@@ -306,3 +306,34 @@ class TestDsirLogratio:
             ._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in p
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+class TestCorpusFilter:
+    def test_rule_cascade_first_failure_wins(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "tiny doc"),                       # too_short
+             (1, "el la de y que en es " * 4),      # es stopwords -> wrong_lang
+             (2, "the same pair " + "go go " * 30), # repetitive, long enough
+             (3, "the a of and to in is plus some ordinary filler words "
+                 "that keep this document long diverse and stopworded")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in textops.corpus_filter(docs).collect()}
+        assert out[0].reason == "too_short" and not out[0].keep
+        assert out[1].reason == "wrong_lang"
+        assert out[2].reason == "too_repetitive"
+        assert out[3].reason == "kept" and out[3].keep
+
+    def test_corpus_split_is_nontrivial(self, spark):
+        """On the sf corpus the filter must actually separate documents
+        (not keep-all or drop-all) — threshold sanity."""
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        agg = textops.corpus_filter(docs).groupBy("keep").count().collect()
+        counts = {r.keep: r["count"] for r in agg}
+        assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+    def test_partition_invariant(self, spark):
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = sorted(map(tuple, textops.corpus_filter(docs).collect()))
+        b = sorted(map(tuple,
+                       textops.corpus_filter(docs.repartition(7)).collect()))
+        assert a == b

@@ -381,3 +381,44 @@ def dsir_logratio(raw: DataFrame, target: DataFrame,
                     .alias("n_grams"),
                     F.round(F.coalesce("_score", F.lit(0.0)), 4)
                     .alias("dsir_score")))
+
+
+def corpus_filter(docs: DataFrame, min_tokens: int = 15,
+                  lang: str = "en", max_dup_bigram_frac: float = 0.2,
+                  min_type_token_ratio: float = 0.25,
+                  min_stopword_ratio: float = 0.01) -> DataFrame:
+    """The composed C4/Gopher-style document filter — the keep/drop
+    decision a corpus actually ships with, with the FIRST failing rule
+    recorded (fixed order, so the reason column is deterministic):
+
+        1. too_short        n_tokens < min_tokens
+        2. wrong_lang       language-ID != lang
+        3. too_repetitive   dup_bigram_frac > max_dup_bigram_frac
+        4. low_diversity    type_token_ratio < min_type_token_ratio
+        5. no_stopwords     stopword_ratio < min_stopword_ratio  (Gopher:
+                            real prose contains stop words)
+
+    Composes quality_score + language_id + repetition_signals; all three
+    signal frames are doc_id-keyed aggregates, so the composition is
+    doc_id-partitioned joins with no new skew axis — the filter costs
+    the sum of its signals, not a new pass over the text."""
+    sig = (quality_score(docs)
+           .select("doc_id", "n_tokens", "stopword_ratio")
+           .join(language_id(docs).select("doc_id", "lang_pred"), "doc_id")
+           .join(repetition_signals(docs)
+                 .select("doc_id", "type_token_ratio", "dup_bigram_frac"),
+                 "doc_id"))
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("lang_pred") != lang, "wrong_lang")
+        .when(F.col("dup_bigram_frac") > max_dup_bigram_frac,
+              "too_repetitive")
+        .when(F.col("type_token_ratio") < min_type_token_ratio,
+              "low_diversity")
+        .when(F.col("stopword_ratio") < min_stopword_ratio, "no_stopwords")
+        .otherwise("kept"))
+    return sig.select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"),
+        "lang_pred", "dup_bigram_frac", "type_token_ratio",
+        "stopword_ratio", (reason == "kept").alias("keep"),
+        reason.alias("reason"))
