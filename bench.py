@@ -186,6 +186,10 @@ def main() -> None:
             lambda: textops.repetition_signals(docs_tbl).count())
     best_of("text_corpus_filter",
             lambda: textops.corpus_filter(docs_tbl).count())
+    from widiff_spark import curation
+    best_of("curate_corpus",
+            lambda: curation.curate_corpus(docs_tbl, bench_docs,
+                                           target_rows=1000).count())
     best_of("text_dsir_scores",
             lambda: textops.dsir_logratio(
                 docs_tbl, docs_tbl.filter("lang = 'en'")).count())

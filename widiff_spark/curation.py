@@ -1,0 +1,57 @@
+"""End-to-end corpus curation: assemble a training dump.
+
+The composition every production pipeline runs before data ships, as one
+operator: quality filter -> near-duplicate keep-list -> benchmark
+decontamination -> temperature-flattened resampling.  Each input document
+comes back with its FATE — which stage dropped it (and for the filter,
+which rule) or 'kept' — so the dump is auditable row-by-row.
+
+Scale shape: this module adds no new text pass and no new shuffle axis.
+Every gate is the underlying operator's plan (see textops.corpus_filter,
+dedup.duplicate_components, textops.decontaminate,
+sampling.temperature_weights/sample_weighted for their individual scale
+arguments); the composition itself is doc_id-keyed equi-joins of per-doc
+verdict frames, and the resampling stage is a broadcast weights join +
+map-only hash-threshold filter over the survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from widiff_spark import dedup, sampling, textops
+
+
+def curate_corpus(docs: DataFrame, benchmark: DataFrame,
+                  target_rows: int | None = None, alpha: float = 0.5,
+                  min_jaccard: float = 0.5) -> DataFrame:
+    """Run the four curation gates in pipeline order and label every
+    document: 'filtered:<rule>' | 'duplicate' | 'contaminated' |
+    'resampled_out' | 'kept'.  The mixture weights are computed over the
+    SURVIVORS of the first three gates (resampling a cleaned corpus, not
+    the raw one), with ``target_rows`` the approximate kept-size.
+
+    Returns (doc_id, lang, source, fate, kept)."""
+    filt = textops.corpus_filter(docs)
+    comp = dedup.duplicate_components(docs, min_jaccard=min_jaccard)
+    cont = textops.decontaminate(docs, benchmark)
+    base = (docs.select("doc_id", "lang", "source")
+            .join(filt.select("doc_id", "keep", "reason"), "doc_id")
+            .join(comp.select("doc_id", "is_canonical"), "doc_id")
+            .join(cont.select("doc_id", "is_contaminated"), "doc_id"))
+    surv = base.filter(F.col("keep") & F.col("is_canonical")
+                       & ~F.col("is_contaminated"))
+    weights = sampling.temperature_weights(surv, "source", alpha=alpha,
+                                           target_rows=target_rows)
+    sampled = (sampling.sample_weighted(surv, weights, "source")
+               .select("doc_id", F.lit(True).alias("_sampled")))
+    fate = (F.when(~F.col("keep"),
+                   F.concat(F.lit("filtered:"), F.col("reason")))
+            .when(~F.col("is_canonical"), F.lit("duplicate"))
+            .when(F.col("is_contaminated"), F.lit("contaminated"))
+            .when(F.col("_sampled").isNull(), F.lit("resampled_out"))
+            .otherwise(F.lit("kept")))
+    return (base.join(sampled, "doc_id", "left")
+            .withColumn("fate", fate)
+            .select("doc_id", "lang", "source", "fate",
+                    (F.col("fate") == "kept").alias("kept")))
