@@ -211,6 +211,8 @@ def main() -> None:
     best_of("ann_knn_lsh",
             lambda: similarity.knn_lsh(emb, queries, dim=64, k=10,
                                        n_planes=4).count())
+    best_of("dedup_semantic",
+            lambda: similarity.semdedup(emb, min_cosine=0.35).count())
     best_of("ann_knn_lsh_multi",
             lambda: similarity.knn_lsh_tables(emb, queries, dim=64, k=10,
                                               n_planes=4, n_tables=6).count())

@@ -140,6 +140,31 @@ def main() -> None:
          "aggregate for per-node minima, ONE equi-join back — no "
          "cartesian; localCheckpoint between rounds keeps the iterated "
          "plan flat (O(log n) rounds total)."),
+        ("duplicated-substring spans (dedup.duplicate_spans)",
+         dedup.duplicate_spans(docs_tbl, k=10),
+         "Positional gram stream -> partial-aggregated count-distinct for "
+         "the >1-doc gram set -> LeftSemi position mark (each position "
+         "matches at most once, so a boilerplate gram cannot blow up the "
+         "join) -> one per-doc window for the lag-based span merge."),
+        ("DSIR importance scores (textops.dsir_logratio)",
+         __import__("widiff_spark.textops", fromlist=["x"]).dsir_logratio(
+             docs_tbl, docs_tbl.filter("lang = 'en'")),
+         "Two wordcount-shaped bucket counts (partial aggregated); the "
+         "merged B-row LM enters the gram stream as a "
+         "BroadcastHashJoin — the corpus grams never hash-exchange for "
+         "the lookup; per-doc sum is one partial+final aggregate."),
+        ("SemDeDup (similarity.semdedup)",
+         similarity.semdedup(emb, min_cosine=0.35),
+         "The nested-loop joins are all the 32-row centroid broadcast "
+         "(intended: assignment is a flatMap over n_cells). The "
+         "duplicate probe itself joins on cell_id — quadratic only "
+         "within a cell, never across the corpus."),
+        ("composed corpus filter (textops.corpus_filter)",
+         __import__("widiff_spark.textops",
+                    fromlist=["x"]).corpus_filter(docs_tbl),
+         "Three doc_id-keyed signal aggregates joined on doc_id; the "
+         "stopword dim broadcasts; no extra pass over text beyond the "
+         "signals themselves."),
     ]
 
     out = ["# PLANS.md — physical plans of the headline operators",

@@ -153,7 +153,8 @@ def timed(label: str, fn, results: dict) -> None:
 
 
 def main() -> None:
-    from widiff_spark import closure, dedup, fixtures, linking
+    from widiff_spark import closure, curation, dedup, fixtures, linking, \
+        textops
     from widiff_spark.pipeline import build_session, run_pipeline, triples
 
     spark = build_session(app_name="widiff-scale-rehearsal",
@@ -213,6 +214,23 @@ def main() -> None:
             timed("dedup_components",
                   lambda: dedup.duplicate_components(
                       docs_tbl, min_jaccard=0.5).count(), results)
+
+            # the round-5 curation flagship: all four gates end-to-end
+            # (filter, minhash/LSH/components keep-list, decontaminate,
+            # temperature resample) over the scaled table
+            bench_docs = docs_tbl.filter("doc_id % 23 = 0") \
+                .selectExpr("doc_id as bench_id", "text")
+            timed("curate_corpus",
+                  lambda: curation.curate_corpus(
+                      docs_tbl, bench_docs,
+                      target_rows=docs_tbl.count() // 4).count(), results)
+            timed("dedup_substring_spans",
+                  lambda: dedup.duplicate_spans(docs_tbl, k=10).count(),
+                  results)
+            timed("text_dsir_scores",
+                  lambda: textops.dsir_logratio(
+                      docs_tbl, docs_tbl.filter("lang = 'en'")).count(),
+                  results)
             spark.catalog.clearCache()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -71,3 +71,58 @@ class TestCurateCorpus:
         again = {r.doc_id: r.fate for r in curation.curate_corpus(
             docs.repartition(13), bench, target_rows=50).collect()}
         assert again == {k: v.fate for k, v in fates.items()}
+
+
+class TestSemDedup:
+    """similarity.semdedup — cluster-scoped greedy semantic pruning."""
+
+    def test_lower_id_wins_within_cell(self, spark):
+        from widiff_spark import similarity
+
+        # two identical vectors + one orthogonal: the duplicate pair
+        # lands in one cell, the lower id is kept
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (5, [1.0, 0.0]), (9, [0.0, 1.0])],
+            "vec_id long, embedding array<float>")
+        out = {r.vec_id: r for r in
+               similarity.semdedup(emb, n_cells=2,
+                                   min_cosine=0.95).collect()}
+        assert out[0].keep and not out[5].keep and out[9].keep
+        assert out[0].cell_id == out[5].cell_id
+
+    def test_threshold_one_keeps_everything_distinct(self, spark):
+        from widiff_spark import similarity
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        out = similarity.semdedup(emb, min_cosine=1.0001)
+        assert out.filter("NOT keep").count() == 0
+        assert out.count() == emb.count()
+
+    def test_partition_invariant(self, spark):
+        from widiff_spark import similarity
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        a = sorted(map(tuple,
+                       similarity.semdedup(emb, min_cosine=0.35).collect()))
+        b = sorted(map(tuple, similarity.semdedup(
+            emb.repartition(7), min_cosine=0.35).collect()))
+        assert a == b
+
+    def test_duplicate_probe_is_cell_equijoin(self, spark):
+        """The pairwise probe must join on cell_id — quadratic within a
+        cell only; a cross join over the corpus is the scale bug.  (The
+        n_cells-row centroid crossJoin is the intended broadcast.)"""
+        from widiff_spark import similarity
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        p = similarity.semdedup(emb, min_cosine=0.35) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p
+        # the only nested-loop joins are the 32-row centroid broadcast
+        # (the assigned subtree is referenced three times — assign,
+        # both sides of the dup probe — so the limit-32 crossJoin
+        # appears up to thrice); the corpus never self-nested-loops
+        assert p.count("BroadcastNestedLoopJoin") <= 3
+        # centroids are the ordered-limit derivation (one per reference)
+        assert p.count("TakeOrderedAndProject") \
+            == p.count("BroadcastNestedLoopJoin")

@@ -253,3 +253,44 @@ def knn_ivf(embeddings: DataFrame, queries: DataFrame, n_cells: int = 32,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "vec_id", "cosine", "rank"))
+
+
+def semdedup(embeddings: DataFrame, n_cells: int = 32,
+             min_cosine: float = 0.95) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication scoped to
+    coarse embedding clusters — drop a vector iff a LOWER-id vector in
+    the SAME cell is within ``min_cosine`` (greedy keep-first, the
+    deterministic analog of the paper's per-cluster pruning).
+
+    Scale shape: the cluster assignment is the IVF pattern (n_cells seed
+    centroids broadcast, one row_number per vector); the duplicate probe
+    is a cell_id equi-join — quadratic only WITHIN a cell, so cell size
+    is the knob: raise ``n_cells`` with the corpus (the paper runs 50k
+    clusters at 5B embeddings) and the per-cell work stays bounded while
+    the join stays shuffle-partitioned on cell_id.
+
+    Returns (vec_id, cell_id, centroid_cos, keep)."""
+    centroids = F.broadcast(
+        embeddings.orderBy("vec_id").limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"),
+                F.col("embedding").alias("c_emb")))
+    scored = (embeddings.crossJoin(centroids)
+              .select("vec_id", "embedding", "cell_id",
+                      cosine_expr(F.col("embedding"), F.col("c_emb"))
+                      .alias("c_cos")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"),
+                                             F.asc("cell_id"))
+    assigned = (scored.withColumn("__r", F.row_number().over(w))
+                .filter("__r = 1").drop("__r"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dup = (a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
+                  & (F.col("b.vec_id") < F.col("a.vec_id")))
+           .filter(F.round(cosine_expr(F.col("a.embedding"),
+                                       F.col("b.embedding")), 4)
+                   >= min_cosine)
+           .select(F.col("a.vec_id").alias("vec_id")).distinct()
+           .withColumn("_dup", F.lit(True)))
+    return (assigned.join(dup, "vec_id", "left")
+            .select("vec_id", "cell_id",
+                    F.round("c_cos", 4).alias("centroid_cos"),
+                    F.col("_dup").isNull().alias("keep")))
