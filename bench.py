@@ -264,6 +264,29 @@ def main() -> None:
             _F.col("ts").alias("timestamp"))
         best_of("kg_stream_rates", _stream_rates, attempts=1)
 
+    def _stream_quality():
+        import tempfile as _tf
+
+        sdir = _tf.mkdtemp(prefix="widiff_bench_dq_")
+        try:
+            docs_tbl.repartition(8).write.mode("overwrite") \
+                .parquet(f"{sdir}/in")
+            stream = (_streaming.stream_training_documents(
+                          spark, f"{sdir}/in", max_files_per_trigger=2)
+                      .withColumn("ts", _F.timestamp_seconds(
+                          _F.lit(1704067200) + _F.col("doc_id") * 60)))
+            q = (_streaming.document_quality_rates(stream)
+                 .writeStream.format("memory").queryName("bench_dq")
+                 .outputMode("complete")
+                 .option("checkpointLocation", f"{sdir}/ckpt")
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            spark.table("bench_dq").count()
+        finally:
+            shutil.rmtree(sdir, ignore_errors=True)
+
+    best_of("text_stream_quality", _stream_quality, attempts=1)
+
     # -- relational suite over the big fact table --------------------------
     # four pinned lines for round-over-round comparability plus a rotating
     # pair covering the rest of the suite (keyed on day number), so every

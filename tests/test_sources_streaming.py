@@ -146,3 +146,58 @@ class TestStreaming:
         out = spark.sql("select * from rates_tbl").toPandas()
         assert len(out) > 0
         assert (out.n_revisions > 0).all()
+
+
+class TestDocumentQualityStream:
+    def test_stream_equals_batch_rollup(self, spark, tmp_path):
+        """availableNow stream over a chunked documents dir must produce
+        exactly the batch groupBy of the same derivation — the monitor
+        adds streaming mechanics, not new semantics."""
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        in_dir = str(tmp_path / "docs_in")
+        docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+        ts = F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 60)
+        stream = streaming.stream_training_documents(
+            spark, in_dir, max_files_per_trigger=1).withColumn("ts", ts)
+        q = (streaming.document_quality_rates(stream)
+             .writeStream.format("memory").queryName("dq_tbl")
+             .outputMode("complete")
+             .option("checkpointLocation", str(tmp_path / "dq_ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        got = sorted(map(tuple, spark.sql(
+            "select window_start, source, n_docs, avg_tokens, n_short "
+            "from dq_tbl").collect()))
+
+        toks = F.split(F.trim("text"), r"\s+")
+        want = sorted(map(tuple, (
+            docs.withColumn("ts", ts)
+            .groupBy(F.window("ts", "1 hour"), "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
+                 F.sum(F.when(F.size(toks) < 15, 1).otherwise(0))
+                 .cast("int").alias("n_short"))
+            .select(F.col("window.start").alias("window_start"), "source",
+                    "n_docs", "avg_tokens", "n_short")).collect()))
+        assert got == want and len(got) > 0
+
+    def test_watermark_bounds_state(self, spark, tmp_path):
+        """The plan must carry the event-time watermark — without it the
+        windowed state grows forever on a real stream."""
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        in_dir = str(tmp_path / "docs_wm")
+        docs.limit(10).write.mode("overwrite").parquet(in_dir)
+        stream = streaming.stream_training_documents(spark, in_dir) \
+            .withColumn("ts", F.timestamp_seconds(
+                F.lit(1704067200) + F.col("doc_id") * 60))
+        plan = streaming.document_quality_rates(
+            stream, watermark="2 hours")._jdf.queryExecution() \
+            .analyzed().toString()
+        assert "EventTimeWatermark" in plan
+        assert "2 hours" in plan

@@ -280,3 +280,45 @@ def edit_sessions_native(revision: DataFrame,
                            F.row_number().over(w).cast("int"))
             .select("repo", "entity_id", "session_ord", "n_revisions",
                     "first_timestamp", "last_timestamp"))
+
+
+# --------------------------------------------------------------------------- #
+# corpus-intake quality monitor (training-documents stream)
+# --------------------------------------------------------------------------- #
+
+TRAINING_DOCS_SCHEMA = "doc_id long, text string, lang string, " \
+    "source string, n_chars long"
+
+
+def stream_training_documents(spark: SparkSession, input_dir: str,
+                              max_files_per_trigger: int = 8) -> DataFrame:
+    """Streaming scan of a growing training-documents directory."""
+    return (spark.readStream
+            .schema(TRAINING_DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir))
+
+
+def document_quality_rates(stream: DataFrame, window: str = "1 hour",
+                           watermark: str = "2 hours",
+                           min_tokens: int = 15) -> DataFrame:
+    """Watermarked per-source windowed quality rollup over a document
+    stream — the live corpus-intake dashboard: doc counts, mean token
+    length, and the short-doc count (the corpus_filter too_short rule)
+    per (window, source).  Late rows beyond the watermark drop, so state
+    is bounded by (#open windows x #sources) regardless of stream age.
+
+    Expects an event-time column ``ts`` (real intake pipelines carry an
+    ingestion timestamp; the driver query derives one deterministically
+    from doc_id).  All aggregates are per-row expressions + partial
+    aggregation — streaming-safe and identical to the batch plan."""
+    toks = F.split(F.trim("text"), r"\s+")
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window), "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
+                 F.sum(F.when(F.size(toks) < min_tokens, 1).otherwise(0))
+                 .cast("int").alias("n_short"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "source", "n_docs", "avg_tokens", "n_short"))
