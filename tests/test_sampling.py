@@ -191,3 +191,18 @@ class TestTemperatureMix:
         assert "BroadcastHashJoin" in plan
         corpus_side = plan.split("BroadcastExchange")[0]
         assert "Exchange hashpartitioning" not in corpus_side
+
+    def test_token_weighted_unit(self, spark):
+        """size_col switches the mixture unit: one huge doc must outweigh
+        many small ones."""
+        rows = [(0, "big", 1000)] + [(i, "many", 10) for i in range(1, 11)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                         "n_tok long")
+        by_docs = {r.source: r.weight for r in
+                   sampling.temperature_weights(df, "source",
+                                                alpha=1.0).collect()}
+        by_toks = {r.source: r.weight for r in
+                   sampling.temperature_weights(df, "source", alpha=1.0,
+                                                size_col="n_tok").collect()}
+        assert by_docs["big"] < by_docs["many"]   # 1 doc vs 10 docs
+        assert by_toks["big"] > by_toks["many"]   # 1000 tokens vs 100

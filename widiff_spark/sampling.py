@@ -92,7 +92,8 @@ def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
 
 def temperature_weights(df: DataFrame, group_col: str = "source",
                         alpha: float = 0.5,
-                        target_rows: int | None = None) -> DataFrame:
+                        target_rows: int | None = None,
+                        size_col: str | None = None) -> DataFrame:
     """Temperature-flattened mixture weights per group — the data-mixing
     step of corpus assembly (alpha=1 keeps natural proportions, alpha=0
     equalizes groups; 0.3-0.7 is the usual multilingual flattening):
@@ -100,10 +101,15 @@ def temperature_weights(df: DataFrame, group_col: str = "source",
         p_g = n_g^alpha / sum_g n_g^alpha
         keep_fraction_g = min(1, target_rows * p_g / n_g)
 
-    One count aggregate + a broadcast 1-row normalizer (no collect).
-    Returns (group, n_docs, weight, keep_fraction) — feed to
+    ``size_col`` switches the mixture unit from documents to that
+    column's per-group SUM (pass a token-count column for the
+    token-weighted mix real assemblies use — a group of few huge docs
+    then weighs as its tokens, not its row count; ``target_rows`` is in
+    the same unit).  One aggregate + a broadcast 1-row normalizer (no
+    collect).  Returns (group, n_docs, weight, keep_fraction) — feed to
     ``sample_weighted`` to materialize the resampled corpus."""
-    stats = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    unit = F.sum(size_col) if size_col is not None else F.count("*")
+    stats = df.groupBy(group_col).agg(unit.alias("n_docs"))
     norm = stats.agg(F.sum(F.pow("n_docs", F.lit(alpha))).alias("_z"),
                      F.sum("n_docs").alias("_total"))
     n_target = F.lit(target_rows) if target_rows is not None \
