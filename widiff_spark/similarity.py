@@ -278,10 +278,20 @@ def semdedup(embeddings: DataFrame, n_cells: int = 32,
               .select("vec_id", "embedding", "cell_id",
                       cosine_expr(F.col("embedding"), F.col("c_emb"))
                       .alias("c_cos")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"),
-                                             F.asc("cell_id"))
-    assigned = (scored.withColumn("__r", F.row_number().over(w))
-                .filter("__r = 1").drop("__r"))
+    # argmax as a partial-aggregated max_by, not a row_number window:
+    # the kg_link_mentions top-1 lesson — a hash aggregate avoids the
+    # full sort-shuffle, which matters here because the assignment
+    # subtree executes once per reference below (ties break to the
+    # lowest cell_id via the (c_cos, -cell_id) ordering struct)
+    assigned = (scored.groupBy("vec_id")
+                .agg(F.max_by(F.struct("cell_id", "embedding"),
+                              F.struct(F.col("c_cos"),
+                                       (-F.col("cell_id")).alias("_nc")))
+                     .alias("_best"),
+                     F.max("c_cos").alias("c_cos"))
+                .select("vec_id", F.col("_best.cell_id").alias("cell_id"),
+                        F.col("_best.embedding").alias("embedding"),
+                        "c_cos"))
     a, b = assigned.alias("a"), assigned.alias("b")
     dup = (a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
                   & (F.col("b.vec_id") < F.col("a.vec_id")))
