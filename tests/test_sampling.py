@@ -206,3 +206,39 @@ class TestTemperatureMix:
                                                 size_col="n_tok").collect()}
         assert by_docs["big"] < by_docs["many"]   # 1 doc vs 10 docs
         assert by_toks["big"] > by_toks["many"]   # 1000 tokens vs 100
+
+
+class TestShardByTokens:
+    def test_hash_mode_map_only_and_balanced(self, docs):
+        out = sampling.shard_by_tokens(docs, n_shards=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # the 100-TB path never shuffles
+        totals = {r.shard: r.total for r in
+                  out.groupBy("shard")
+                  .agg(F.sum("n_tokens").alias("total")).collect()}
+        assert len(totals) == 8
+        # balanced in expectation: no shard more than 2x the mean
+        mean = sum(totals.values()) / 8
+        assert all(t < 2 * mean for t in totals.values())
+
+    def test_exact_mode_tight_balance(self, docs):
+        out = sampling.shard_by_tokens(docs, n_shards=8, exact=True)
+        totals = [r.total for r in out.groupBy("shard")
+                  .agg(F.sum("n_tokens").alias("total")).collect()]
+        assert len(totals) == 8
+        # serpentine LPT: spread bounded by ~one max document
+        max_doc = sampling.shard_by_tokens(docs, 8, exact=True) \
+            .agg(F.max("n_tokens")).collect()[0][0]
+        assert max(totals) - min(totals) <= max_doc
+
+    def test_deterministic_across_partitionings(self, docs):
+        a = sorted(map(tuple,
+                       sampling.shard_by_tokens(docs, 8).collect()))
+        b = sorted(map(tuple, sampling.shard_by_tokens(
+            docs.repartition(13), 8).collect()))
+        assert a == b
+        c = sorted(map(tuple, sampling.shard_by_tokens(
+            docs, 8, exact=True).collect()))
+        d = sorted(map(tuple, sampling.shard_by_tokens(
+            docs.repartition(13), 8, exact=True).collect()))
+        assert c == d

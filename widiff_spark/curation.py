@@ -55,3 +55,34 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
             .withColumn("fate", fate)
             .select("doc_id", "lang", "source", "fate",
                     (F.col("fate") == "kept").alias("kept")))
+
+
+def verbalize_entities(labels: DataFrame) -> DataFrame:
+    """The KG -> LM-training-data bridge: render the entity label dim
+    (extractors.entity_labels output: qid, numeric_id, label, alias,
+    description) as a documents-shaped table — one verbalized sentence
+    per entity, ready for the curation suite (corpus_filter, dedup,
+    mixing) and for pretraining dumps that inject structured knowledge
+    as text (the KELM/TekGen recipe).
+
+        "<label> is <description>, also known as <alias>."
+
+    with the description/alias clauses dropped when empty.  Pure narrow
+    projection over the dim — map-only, zero shuffle beyond whatever
+    produced the dim itself.
+
+    Returns (doc_id, text, lang, source, n_chars) — the documents
+    schema, doc_id = the entity's numeric id."""
+    desc = F.when(F.length("description") > 0,
+                  F.concat(F.lit(" is "), F.col("description"))) \
+        .otherwise(F.lit(""))
+    alias = F.when(F.length("alias") > 0,
+                   F.concat(F.lit(", also known as "), F.col("alias"))) \
+        .otherwise(F.lit(""))
+    text = F.concat(F.col("label"), desc, alias, F.lit("."))
+    return (labels.filter(F.length("label") > 0)
+            .select(F.col("numeric_id").cast("long").alias("doc_id"),
+                    text.alias("text"),
+                    F.lit("en").alias("lang"),
+                    F.col("repo").alias("source"),
+                    F.length(text).cast("long").alias("n_chars")))

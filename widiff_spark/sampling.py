@@ -142,3 +142,37 @@ def sample_weighted(df: DataFrame, weights: DataFrame,
                     group_col)
             .filter(_hash_key(key_col, salt) < thr)
             .drop("keep_fraction"))
+
+
+def shard_by_tokens(docs: DataFrame, n_shards: int = 16,
+                    exact: bool = False) -> DataFrame:
+    """Assign documents to ``n_shards`` output shards with balanced
+    token totals — the dump-writing step after curation (training jobs
+    read shards in parallel; a token-skewed shard is the straggler).
+
+    Two modes:
+
+    * default (hash): shard = md5(doc_id) mod n — map-only, zero
+      shuffle, balanced in expectation (token sums over millions of
+      docs concentrate tightly).  The 100-TB path.
+    * ``exact=True``: serpentine LPT — rank docs by (n_tokens DESC,
+      doc_id) and deal them boustrophedon across shards, which bounds
+      any shard's excess by one document.  The global rank is a single
+      unpartitioned sort-window, so this mode is for bounded inputs
+      (dims, per-partition finishing passes), NOT the full corpus; the
+      hash mode exists precisely so nothing at scale needs it.
+
+    Returns (doc_id, n_tokens, shard); deterministic in both modes."""
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    base = docs.select("doc_id", toks.alias("n_tokens"))
+    if not exact:
+        shard = (F.conv(F.substring(F.md5(
+            F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long") % n_shards)
+        return base.withColumn("shard", shard.cast("int"))
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    r = F.row_number().over(w) - 1
+    fwd = r % n_shards
+    shard = F.when(F.floor(r / n_shards) % 2 == 0, fwd) \
+        .otherwise(n_shards - 1 - fwd)
+    return base.withColumn("shard", shard.cast("int"))
