@@ -133,7 +133,10 @@ def sample_weighted(df: DataFrame, weights: DataFrame,
     data-dependent, so the hex threshold is formatted in-plan rather
     than precomputed driver-side).  Fractions >= 1 keep every row via
     the 'g' sentinel (sorts above any hex digit).  Broadcast weights
-    join + map-only filter — no shuffle of the corpus."""
+    join + map-only filter — no shuffle of the corpus.  The join is
+    INNER by design: the weights table defines the mix, so a group
+    absent from it (weights computed on a filtered survivor set, say)
+    contributes nothing to the sample."""
     thr = F.when(F.col("keep_fraction") >= 1.0, F.lit("g")).otherwise(
         F.lower(F.lpad(F.hex(F.floor(F.col("keep_fraction")
                                      * F.lit(float(HEX_SPACE)))
