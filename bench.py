@@ -217,6 +217,54 @@ def main() -> None:
             lambda: similarity.knn_lsh_tables(emb, queries, dim=64, k=10,
                                               n_planes=4, n_tables=6).count())
 
+    # -- rotating coverage lines -------------------------------------------
+    # cheap/untimed operator families get a recent wall number within a few
+    # rounds even though they are not headline lines (VERDICT r5 ask #8):
+    # 4 per run, keyed on day number — same rotation scheme as rel_* below.
+    from pyspark.sql import functions as F
+
+    from widiff_spark import multimodal
+
+    pii_docs = docs_tbl.withColumn("text", F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 192.168.0.1 tel 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+    media = multimodal.synthesize_media(docs_tbl)
+    coverage = {
+        "text_vocab": lambda: textops.vocabulary(docs_tbl,
+                                                 top_k=200).count(),
+        "text_pii_redact": lambda: textops.redact_pii(pii_docs).count(),
+        "sample_shard_hash": lambda: sampling.shard_by_tokens(
+            docs_tbl, n_shards=16).count(),
+        "sample_shard_exact": lambda: sampling.shard_by_tokens(
+            docs_tbl, n_shards=16, exact=True).count(),
+        "text_mix_weights_tokens": lambda: sampling.temperature_weights(
+            docs_tbl.withColumn(
+                "n_tok",
+                F.size(F.split(F.trim("text"), r"\s+")).cast("long")),
+            "source", alpha=0.5, size_col="n_tok").count(),
+        "mm_media_features": lambda: multimodal.extract_features(
+            media).count(),
+        "mm_resize_plan": lambda: multimodal.resize_images(media).count(),
+        "mm_frame_sample": lambda: multimodal.sample_frames(media).count(),
+        "text_token_count": lambda: textops.token_count(docs_tbl).count(),
+        "text_quality": lambda: textops.quality_score(docs_tbl).count(),
+        "text_language_id": lambda: textops.language_id(docs_tbl).count(),
+        "text_fingerprint": lambda: textops.fingerprint(docs_tbl).count(),
+        "dedup_exact": lambda: dedup.exact_duplicates(docs_tbl).count(),
+        "kg_training_docs": lambda: curation.verbalize_entities(
+            _extractors.entity_labels(_parse.parse_documents(
+                fixtures.corpus_from_documents(spark, SF_DIR)))).count(),
+        "text_pack_documents": lambda: textops.pack_documents(
+            docs_tbl, token_budget=512).count(),
+    }
+    cov_names = sorted(coverage)
+    day = int(time.time()) // 86400
+    for i in range(4):
+        name = cov_names[(4 * day + i) % len(cov_names)]
+        best_of(name, coverage[name])
+
     # -- streaming ingest-rate probe ---------------------------------------
     # kg_stream_rates is driver-sampled only intermittently; timing it here
     # re-evidences execution every round (VERDICT r4 ask #6).  availableNow
@@ -264,28 +312,35 @@ def main() -> None:
             _F.col("ts").alias("timestamp"))
         best_of("kg_stream_rates", _stream_rates, attempts=1)
 
+    # fixture write happens ONCE outside the timed window (VERDICT r5 ask
+    # #9: most of the old 18.7 s line was fixture latency + 4 triggers);
+    # the measured part is the genuine availableNow streaming job — still
+    # multi-trigger (8 files / 4 per trigger = 2 micro-batches)
+    import tempfile as _tf
+
+    dq_dir = _tf.mkdtemp(prefix="widiff_bench_dq_")
+    docs_tbl.repartition(8).write.mode("overwrite").parquet(f"{dq_dir}/in")
+    dq_runs = [0]
+
     def _stream_quality():
-        import tempfile as _tf
+        dq_runs[0] += 1
+        ckpt = f"{dq_dir}/ckpt{dq_runs[0]}"
+        stream = (_streaming.stream_training_documents(
+                      spark, f"{dq_dir}/in", max_files_per_trigger=4)
+                  .withColumn("ts", _F.timestamp_seconds(
+                      _F.lit(1704067200) + _F.col("doc_id") * 60)))
+        q = (_streaming.document_quality_rates(stream)
+             .writeStream.format("memory").queryName("bench_dq")
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        spark.table("bench_dq").count()
 
-        sdir = _tf.mkdtemp(prefix="widiff_bench_dq_")
-        try:
-            docs_tbl.repartition(8).write.mode("overwrite") \
-                .parquet(f"{sdir}/in")
-            stream = (_streaming.stream_training_documents(
-                          spark, f"{sdir}/in", max_files_per_trigger=2)
-                      .withColumn("ts", _F.timestamp_seconds(
-                          _F.lit(1704067200) + _F.col("doc_id") * 60)))
-            q = (_streaming.document_quality_rates(stream)
-                 .writeStream.format("memory").queryName("bench_dq")
-                 .outputMode("complete")
-                 .option("checkpointLocation", f"{sdir}/ckpt")
-                 .trigger(availableNow=True).start())
-            q.awaitTermination(120)
-            spark.table("bench_dq").count()
-        finally:
-            shutil.rmtree(sdir, ignore_errors=True)
-
-    best_of("text_stream_quality", _stream_quality, attempts=1)
+    try:
+        best_of("text_stream_quality", _stream_quality, attempts=1)
+    finally:
+        shutil.rmtree(dq_dir, ignore_errors=True)
 
     # -- relational suite over the big fact table --------------------------
     # four pinned lines for round-over-round comparability plus a rotating

@@ -87,6 +87,12 @@ def convert_arrays(sd: dict, hf_cfg: dict) -> tuple[dict, dict]:
            "intermediate": hf_cfg["intermediate_size"],
            # 'gelu' in an HF config is the exact erf form
            "act": hf_cfg.get("hidden_act", "gelu")}
+    from widiff_spark.encoder import _ACTIVATIONS
+    if cfg["act"] not in _ACTIVATIONS:
+        raise ValueError(
+            f"checkpoint uses hidden_act={cfg['act']!r}, which the numpy "
+            f"encoder does not implement (supported: {sorted(_ACTIVATIONS)})"
+            " — converting it would only fail later at load time")
     sd = _strip_prefix(sd)
 
     def t(name):  # torch Linear weight [out, in] -> x @ w layout [in, out]

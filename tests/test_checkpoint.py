@@ -66,6 +66,35 @@ class TestCheckpoint:
             .orderBy("revision_id").collect()
         assert [(r.revision_id, r.payload) for r in out] == [(1, "x"), (2, "z")]
 
+    def test_physical_bucket_trusted_only_at_default_count(self, spark):
+        """ADVICE r5: a physical ``bucket`` column is only authoritative
+        for the default N_ENTITY_BUCKETS it was written with; any other
+        requested count must re-derive or watermarks/filters are silently
+        wrong.  Poison the column and check both consumers."""
+        docs = fixtures.edge_case_corpus(spark, include_hot_page=False) \
+            .filter(F.col("path").rlike(r"^Q\d+$"))
+        n_alt = 3  # non-default count
+        poisoned = docs.withColumn("bucket", F.lit(999))
+
+        # non-default count: the stale column must be ignored
+        marks = checkpoint.input_watermarks(poisoned, n_buckets=n_alt)
+        got = sorted(r["bucket"] for r in marks.select("bucket").collect())
+        assert got and all(0 <= b < n_alt for b in got)
+
+        derived = docs.withColumn("__b", checkpoint.bucket_col(n_alt))
+        keep = [0]
+        filtered = checkpoint.filter_to_buckets(poisoned, keep,
+                                                n_buckets=n_alt)
+        expected = derived.filter(F.col("__b").isin(keep)).drop("__b")
+        assert filtered.drop("bucket").exceptAll(
+            expected.drop("bucket")).count() == 0
+        assert filtered.count() == expected.count()
+
+        # default count: the physical column IS trusted (partition pruning
+        # depends on it) — the poisoned value routes everything to 999
+        marks_def = checkpoint.input_watermarks(poisoned)
+        assert [r["bucket"] for r in marks_def.collect()] == [999]
+
     def test_bucket_consistency(self, spark):
         """checkpoint bucket of a docs row == materialize bucket of its
         output rows (the redo unit must match the write partition)."""

@@ -303,6 +303,62 @@ class TestCheckpointConverter:
         assert "embeddings.word_embeddings.weight" in out
 
 
+class TestActivations:
+    """ADVICE r5: unknown activations must fail at checkpoint load (with
+    the supported menu), not as a bare KeyError mid-backfill; and the erf
+    path must be vectorized without losing double precision."""
+
+    def test_vectorized_erf_matches_math_erf(self):
+        import math
+
+        from widiff_spark.encoder import _erf
+
+        xs = np.concatenate([np.linspace(-8, 8, 20001),
+                             [0.0, 0.46875, -0.46875, 4.0, -4.0,
+                              1e-12, 27.0, -27.0]])
+        ref = np.array([math.erf(v) for v in xs])
+        assert np.max(np.abs(_erf(xs) - ref)) < 1e-14
+
+    def test_unknown_activation_fails_at_load(self, model_dir):
+        import json
+        import os
+        import shutil
+
+        bad = model_dir + "_badact"
+        if not os.path.isdir(bad):
+            shutil.copytree(model_dir, bad)
+            cfg = json.load(open(os.path.join(bad, "config.json")))
+            cfg["act"] = "quick_gelu"
+            json.dump(cfg, open(os.path.join(bad, "config.json"), "w"))
+        with pytest.raises(ValueError, match="quick_gelu.*supported"):
+            NumpyTransformerEncoder.load(bad)
+
+    def test_relu_and_hf_aliases_supported(self, model):
+        from widiff_spark.encoder import _ACTIVATIONS, _gelu_tanh, _relu
+
+        assert _ACTIVATIONS["gelu_new"] is _gelu_tanh
+        assert _ACTIVATIONS["gelu_pytorch_tanh"] is _gelu_tanh
+        x = np.array([-1.0, 0.0, 2.5])
+        assert np.array_equal(_relu(x), [0.0, 0.0, 2.5])
+
+    def test_exporter_rejects_unknown_activation(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "export_minilm_npz3",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "export_minilm_npz.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        with pytest.raises(ValueError, match="hidden_act"):
+            mod.convert_arrays({}, {"hidden_size": 4, "num_hidden_layers": 1,
+                                    "num_attention_heads": 1,
+                                    "max_position_embeddings": 8,
+                                    "intermediate_size": 8,
+                                    "hidden_act": "silu"})
+
+
 class TestRealMiniLMParity:
     """Presence-gated: point WIDIFF_MINILM_DIR at a checkpoint produced by
     ``scripts/export_minilm_npz.py <hf_minilm> <dir> --reference`` and this

@@ -1,0 +1,67 @@
+"""Multimodal decoder seam: the default path must never depend on which
+codec libraries are importable (VERDICT r5 defect #1 — the old seam raised
+NotImplementedError for every image row whenever Pillow was installed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from widiff_spark import multimodal
+
+
+def _pseudo(payload: bytes) -> np.ndarray:
+    return multimodal._decode_payload(payload, "image/png")
+
+
+def test_decode_ignores_pil_presence(monkeypatch):
+    """Same bytes in, same features out, whether or not PIL is importable."""
+    without = _pseudo(b"payload-bytes")
+    monkeypatch.setattr(multimodal, "_HAS_PIL", True)
+    monkeypatch.delenv("WIDIFF_MEDIA_DECODE", raising=False)
+    with_pil = _pseudo(b"payload-bytes")
+    assert np.array_equal(without, with_pil)
+    assert with_pil.shape == (64,)
+
+
+def test_optin_decode_never_raises_on_bad_payload(monkeypatch):
+    """Opt-in path with an unusable decoder (no real PIL here, so the
+    import inside the branch fails) must fall back, not crash."""
+    monkeypatch.setattr(multimodal, "_HAS_PIL", True)
+    monkeypatch.setenv("WIDIFF_MEDIA_DECODE", "pil")
+    out = _pseudo(b"not-a-png")
+    assert out.shape == (64,)
+    assert np.array_equal(out, multimodal._decode_payload(b"not-a-png",
+                                                          "image/png"))
+
+
+def test_decode_deterministic_and_media_type_blind_by_default():
+    a = multimodal._decode_payload(b"x", "image/png")
+    b = multimodal._decode_payload(b"x", "audio/wav")
+    assert np.array_equal(a, b)
+    assert np.all(np.abs(a) <= 1.0)
+
+
+@pytest.mark.usefixtures("spark")
+def test_extract_features_returns_rows(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(12)], "doc_id long, text string")
+    media = multimodal.synthesize_media(docs)
+    rows = multimodal.extract_features(media).collect()
+    assert len(rows) == 12
+    assert all(len(r["feature"]) == 64 for r in rows)
+
+
+def test_pil_branch_contract():
+    """If real Pillow is present AND opted in, the branch emits the same
+    64-float [-1, 1) contract (skips where Pillow is absent)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 20), (120, 30, 200)).save(buf, format="PNG")
+    out = multimodal._pil_image_features(buf.getvalue())
+    assert out.shape == (64,)
+    assert np.all((out >= -1.0) & (out < 1.0))

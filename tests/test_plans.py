@@ -76,6 +76,24 @@ class TestJoinStrategies:
         p = plan(similarity.knn_bruteforce(emb, q))
         assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
+    def test_ivf_corpus_assignment_is_hash_aggregate(self, spark):
+        """VERDICT r5 ask #5: the keep=1 corpus-cell assignment must be a
+        partial-aggregated max_by, not a row_number window — the window
+        sort-exchanges the whole corpus x n_cells scored set by vec_id."""
+        import re as _re
+
+        from widiff_spark import similarity
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter("vec_id < 5").selectExpr("vec_id as query_id",
+                                                "embedding")
+        p = plan(similarity.knn_ivf(emb, q, n_cells=8, n_probe=2, k=3))
+        assert "max_by" in p
+        # windows remaining in the plan: the query-side top-n_probe and
+        # the final per-query top-k — neither partitions by vec_id
+        for m in _re.finditer(r"Arguments: \[row_number\(\).*?"
+                              r"windowspecdefinition\((\w+)#", p):
+            assert m.group(1) != "vec_id", p
+
 
 class TestAggregation:
     def test_partial_aggregation_present(self, spark):
@@ -210,16 +228,54 @@ class TestRound3Plans:
         assert "BroadcastHashJoin" in p  # probes broadcast to the corpus
 
 
-def test_dedup_has_no_rdd_access():
-    """shingles() once probed docs.rdd.getNumPartitions(), materializing
-    RDD lineage on every dedup call (VERDICT r3 nit #4); the partition
-    heuristic must stay plan-free."""
+def test_dedup_rdd_probe_only_on_derived_inputs():
+    """The spread probe is two-tier (VERDICT r3 nit #4 + r5 defect #2):
+    file-backed plans — the 100 TB path — answer from ``inputFiles``
+    without touching ``.rdd``; only the non-file-backed fallback may pay
+    one ``getNumPartitions()`` (physical planning, no job).  Pin it at
+    the source level: exactly one ``.rdd`` site, inside the
+    ``n_files == 0`` branch, after the inputFiles probe."""
     import pathlib
 
     from widiff_spark import dedup as _d
 
     src = pathlib.Path(_d.__file__).read_text()
-    assert ".rdd" not in src
+    assert src.count(".rdd") == 1
+    probe = src.index("inputFiles()")
+    rdd = src.index(".rdd")
+    assert probe < rdd
+    assert "if n_files == 0:" in src[probe:rdd]
+
+
+class TestShinglesSpreadProbe:
+    """VERDICT r5 defect #2 / ask #4: derived (non-file-backed) inputs
+    that already carry >= defaultParallelism partitions must not eat an
+    unconditional corpus round-robin repartition before shingling."""
+
+    def test_wide_derived_input_not_repartitioned(self, spark):
+        from widiff_spark import dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(200)],
+            "doc_id long, text string")
+        # a join output carrying full shuffle partitioning
+        derived = (docs.alias("a")
+                   .join(docs.selectExpr("doc_id").alias("b"), "doc_id")
+                   .select("doc_id", "text"))
+        wide = derived.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id")
+        p = plan(dedup.shingles(wide))
+        assert "REPARTITION_BY_NUM" not in p and "RoundRobin" not in p, p
+
+    def test_narrow_derived_input_still_spread(self, spark):
+        from widiff_spark import dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+            "doc_id long, text string").coalesce(1)
+        sh = dedup.shingles(docs)
+        assert (sh.rdd.getNumPartitions()
+                >= spark.sparkContext.defaultParallelism)
 
 
 class TestRound4Plans:

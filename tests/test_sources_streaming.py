@@ -5,6 +5,8 @@ from __future__ import annotations
 import bz2
 import json
 
+import pytest
+
 from widiff_spark import sources, streaming
 from widiff_spark.pipeline import run_pipeline
 
@@ -129,6 +131,31 @@ class TestStreaming:
         expected = batch.tables["value_change"].count()
         batch.unpersist()
         assert vc.count() == expected
+
+    def test_flat_legacy_staging_fails_with_restage_message(self, spark,
+                                                            tmp_path):
+        """ADVICE r5: appending partitionBy('bucket') files into a staging
+        dir written by the pre-r5 flat layout would make the staging read
+        fail mid-stream with a confusing Spark error — the sink must
+        detect the legacy layout up front and name the restage step."""
+        from widiff_spark import fixtures
+        in_dir = str(tmp_path / "incoming_flat")
+        staging = str(tmp_path / "staging_flat")
+        docs = fixtures.edge_case_corpus(spark, include_hot_page=False)
+        docs.write.mode("overwrite").parquet(in_dir)
+        # fake a legacy FLAT staging dir (top-level parquet, no bucket=)
+        docs.limit(5).coalesce(1).write.mode("overwrite").parquet(staging)
+
+        stream = streaming.stream_documents(spark, in_dir)
+        q = streaming.run_streaming_pipeline(
+            stream, staging_dir=staging,
+            output_dir=str(tmp_path / "out_flat"),
+            checkpoint_dir=str(tmp_path / "ckpt_flat"))
+        with pytest.raises(Exception, match="FLAT.*Restage"):
+            try:
+                q.awaitTermination(120)
+            finally:
+                q.stop()
 
     def test_watermarked_rates(self, spark, tmp_path):
         from widiff_spark import fixtures

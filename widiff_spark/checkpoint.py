@@ -61,6 +61,16 @@ def bucket_col(n_buckets: int = N_ENTITY_BUCKETS):
     return F.pmod(F.xxhash64("repo", entity_id), F.lit(n_buckets)).cast("int")
 
 
+def _trust_bucket_column(docs: DataFrame, n_buckets: int) -> bool:
+    """A physical ``bucket`` column is only authoritative when it was
+    written by the bucket-partitioned staging layout, i.e. with the
+    default ``N_ENTITY_BUCKETS`` formula.  A caller asking for any other
+    count (or an input carrying a stale/unrelated ``bucket`` column)
+    must re-derive, or watermarks and bucket filters are silently wrong
+    (ADVICE r5)."""
+    return "bucket" in docs.columns and n_buckets == N_ENTITY_BUCKETS
+
+
 def read_checkpoints(spark: SparkSession, path: str) -> DataFrame:
     # mirror record()'s write-side routing: on an Iceberg cluster the
     # ledger lives in the catalog, and reading the (never-written) parquet
@@ -86,10 +96,14 @@ def input_watermarks(docs: DataFrame,
                      n_buckets: int = N_ENTITY_BUCKETS) -> DataFrame:
     """Per-bucket high-water mark of the *input* (lexicographic commit order
     = revision order, FIXTURES.md §1).  A physical ``bucket`` column (the
-    bucket-partitioned staging layout, streaming.py) is trusted as-is —
-    it is written from the same ``bucket_col`` formula."""
-    if "bucket" not in docs.columns:
-        docs = docs.withColumn("bucket", bucket_col(n_buckets))
+    bucket-partitioned staging layout, streaming.py) is trusted only when
+    the caller asks for the default bucket count it was written with —
+    for any other ``n_buckets`` (or an unrelated column that happens to
+    be named ``bucket``) the marks would be silently wrong, so the bucket
+    is re-derived from (repo, path) instead."""
+    if not _trust_bucket_column(docs, n_buckets):
+        docs = docs.drop("bucket").withColumn("bucket",
+                                              bucket_col(n_buckets))
     return (docs.filter(F.col("path").rlike(r"^Q\d+$"))
             .groupBy("bucket")
             .agg(F.max("commit").alias("input_max_commit"),
@@ -122,8 +136,10 @@ def filter_to_buckets(docs: DataFrame, buckets: list[int],
     never lists or reads untouched buckets' files, so a month-old streaming
     staging area costs only its touched buckets per trigger.  Otherwise the
     bucket is derived from (repo, path) and the filter evaluates post-scan
-    (the hash can't prune)."""
-    if "bucket" in docs.columns:
+    (the hash can't prune).  As in ``input_watermarks``, the physical
+    column is only trusted at the default bucket count it was written
+    with — a non-default ``n_buckets`` re-derives."""
+    if _trust_bucket_column(docs, n_buckets):
         return docs.filter(F.col("bucket").isin(buckets))
     return docs.filter(bucket_col(n_buckets).isin(buckets))
 

@@ -30,7 +30,6 @@ Checkpoint layout (``model_dir/``):
 from __future__ import annotations
 
 import json
-import math
 import os
 import re
 
@@ -52,18 +51,88 @@ def _gelu_tanh(x: np.ndarray) -> np.ndarray:
         np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
 
 
-_erf = np.frompyfunc(math.erf, 1, 1)  # exact double-precision erf
+# --- vectorized double-precision erf (Cody 1969 rational approximations,
+# the same three-regime scheme libm/CALERF use; ~1e-16 relative accuracy,
+# grid-verified against math.erf in tests/test_encoder.py).  The previous
+# np.frompyfunc(math.erf) was a per-element Python loop — prohibitive for
+# a real-weights embedding backfill (ADVICE r5) ---
+
+_ERF_A = np.array([3.16112374387056560e0, 1.13864154151050156e2,
+                   3.77485237685302021e2, 3.20937758913846947e3,
+                   1.85777706184603153e-1])
+_ERF_B = np.array([2.36012909523441209e1, 2.44024637934444173e2,
+                   1.28261652607737228e3, 2.84423683343917062e3])
+_ERF_C = np.array([5.64188496988670089e-1, 8.88314979438837594e0,
+                   6.61191906371416295e1, 2.98635138197400131e2,
+                   8.81952221241769090e2, 1.71204761263407058e3,
+                   2.05107837782607147e3, 1.23033935479799725e3,
+                   2.15311535474403846e-8])
+_ERF_D = np.array([1.57449261107098347e1, 1.17693950891312499e2,
+                   5.37181101862009858e2, 1.62138957456669019e3,
+                   3.29079923573345963e3, 4.36261909014324716e3,
+                   3.43936767414372164e3, 1.23033935480374942e3])
+_ERF_P = np.array([3.05326634961232344e-1, 3.60344899949804439e-1,
+                   1.25781726111229246e-1, 1.60837851487422766e-2,
+                   6.58749161529837803e-4, 1.63153871373020978e-2])
+_ERF_Q = np.array([2.56852019228982242e0, 1.87295284992346047e0,
+                   5.27905102951428412e-1, 6.05183413124413191e-2,
+                   2.33520497626869185e-3])
+_INV_SQRT_PI = 5.6418958354775628695e-1
+
+
+def _erf(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, dtype=np.float64)
+    y = np.abs(x)
+    out = np.empty_like(y)
+
+    m1 = y <= 0.46875
+    z = np.square(y[m1])
+    xnum = _ERF_A[4] * z
+    xden = z.copy()
+    for i in range(3):
+        xnum = (xnum + _ERF_A[i]) * z
+        xden = (xden + _ERF_B[i]) * z
+    out[m1] = y[m1] * (xnum + _ERF_A[3]) / (xden + _ERF_B[3])
+
+    m2 = (y > 0.46875) & (y <= 4.0)
+    y2 = y[m2]
+    xnum = _ERF_C[8] * y2
+    xden = y2.copy()
+    for i in range(7):
+        xnum = (xnum + _ERF_C[i]) * y2
+        xden = (xden + _ERF_D[i]) * y2
+    erfc2 = np.exp(-np.square(y2)) * (xnum + _ERF_C[7]) / (xden + _ERF_D[7])
+    out[m2] = 1.0 - erfc2
+
+    m3 = y > 4.0
+    y3 = y[m3]
+    z = 1.0 / np.square(y3)
+    xnum = _ERF_P[5] * z
+    xden = z.copy()
+    for i in range(4):
+        xnum = (xnum + _ERF_P[i]) * z
+        xden = (xden + _ERF_Q[i]) * z
+    r = z * (xnum + _ERF_P[4]) / (xden + _ERF_Q[4])
+    out[m3] = 1.0 - np.exp(-np.square(y3)) * (_INV_SQRT_PI - r) / y3
+
+    return np.copysign(out, x)
 
 
 def _gelu_erf(x: np.ndarray) -> np.ndarray:
     # exact GELU 0.5*x*(1+erf(x/sqrt(2))) — what HuggingFace BERT/MiniLM
     # execute for hidden_act='gelu'; needed for 1e-4 parity with real
     # MiniLM weights (the tanh approximation drifts ~1e-3 per activation)
-    return 0.5 * x * (1.0 + _erf(x / np.sqrt(2.0)).astype(np.float64))
+    return 0.5 * x * (1.0 + _erf(x / np.sqrt(2.0)))
+
+
+def _relu(x: np.ndarray) -> np.ndarray:
+    return np.maximum(x, 0.0)
 
 
 _ACTIVATIONS = {"gelu_tanh": _gelu_tanh, "gelu": _gelu_erf,
-                "gelu_erf": _gelu_erf}
+                "gelu_erf": _gelu_erf, "relu": _relu,
+                # HF config aliases for the tanh approximation
+                "gelu_new": _gelu_tanh, "gelu_pytorch_tanh": _gelu_tanh}
 
 # Fixed sentence set for real-weights parity: the exporter records the
 # sentence-transformers embeddings of exactly these sentences alongside
@@ -125,6 +194,14 @@ class NumpyTransformerEncoder:
     """BERT-architecture encoder over an npz checkpoint; numpy only."""
 
     def __init__(self, weights: dict, vocab: list[str], config: dict):
+        act = config.get("act", "gelu_tanh")
+        if act not in _ACTIVATIONS:
+            # fail at checkpoint load with the menu, not with a bare
+            # KeyError in the middle of an embedding backfill (ADVICE r5)
+            raise ValueError(
+                f"unsupported hidden activation {act!r}; supported: "
+                f"{sorted(_ACTIVATIONS)} — re-export the checkpoint or "
+                "add the activation to encoder._ACTIVATIONS")
         self.w = weights
         self.cfg = config
         self.tokenizer = WordPieceTokenizer(vocab)

@@ -58,10 +58,41 @@ def run_streaming_pipeline(stream: DataFrame, staging_dir: str,
     from .pipeline import run_incremental
     from . import checkpoint
 
+    layout_checked = []
+
+    def _assert_bucketed_layout(spark: SparkSession) -> None:
+        """Appending bucket-partitioned files into a staging dir written by
+        the pre-r5 FLAT layout makes ``spark.read.parquet(staging_dir)``
+        fail with conflicting directory structures — detect the legacy
+        layout up front and fail with the restage instruction instead of
+        a mid-stream Spark error (ADVICE r5).  One listing per stream
+        start, via Hadoop FS so any scheme (file/hdfs/s3a) works."""
+        if layout_checked:
+            return
+        layout_checked.append(True)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(staging_dir)
+        fs = hpath.getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if status.isFile() and name.endswith(".parquet"):
+                raise ValueError(
+                    f"staging dir {staging_dir!r} holds FLAT (pre-bucket-"
+                    "partitioned) parquet files; the sink now writes "
+                    "partitionBy('bucket') and Spark cannot read a mix. "
+                    "Restage once before upgrading: read the old staging "
+                    "dir, withColumn('bucket', checkpoint.bucket_col()), "
+                    "and rewrite it partitioned by bucket (or point "
+                    "staging_dir at a fresh location).")
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _assert_bucketed_layout(spark)
         (batch_df.withColumn("bucket", checkpoint.bucket_col())
          .write.mode("append").partitionBy("bucket").parquet(staging_dir))
         staged = spark.read.parquet(staging_dir)
@@ -306,7 +337,13 @@ def document_quality_rates(stream: DataFrame, window: str = "1 hour",
     stream — the live corpus-intake dashboard: doc counts, mean token
     length, and the short-doc count (the corpus_filter too_short rule)
     per (window, source).  Late rows beyond the watermark drop, so state
-    is bounded by (#open windows x #sources) regardless of stream age.
+    is bounded by (#open windows x #sources) regardless of stream age —
+    **in append/update output mode only**: in ``complete`` mode Spark
+    must retain every window ever emitted and the watermark does not
+    evict, so state grows with stream age.  The in-repo consumers (driver
+    query / bench) use complete mode deliberately — they run bounded
+    availableNow fixtures and need every window for the oracle compare;
+    a production dashboard should use update mode.
 
     Expects an event-time column ``ts`` (real intake pipelines carry an
     ingestion timestamp; the driver query derives one deterministically
