@@ -159,12 +159,31 @@ def main() -> None:
          "(intended: assignment is a flatMap over n_cells). The "
          "duplicate probe itself joins on cell_id — quadratic only "
          "within a cell, never across the corpus."),
+        ("IVF ANN (similarity.knn_ivf)",
+         similarity.knn_ivf(emb, queries, n_cells=8, n_probe=2, k=5),
+         "Corpus cell assignment is a partial-aggregated max_by hash "
+         "aggregate (round 6 — previously a row_number window that "
+         "sort-exchanged corpus x n_cells rows by vec_id); the only "
+         "windows left are the small query-side top-n_probe and the "
+         "final per-query top-k.  Probing joins corpus cells to query "
+         "cells on cell_id — the partition-pruning analog at scale."),
         ("composed corpus filter (textops.corpus_filter)",
          __import__("widiff_spark.textops",
                     fromlist=["x"]).corpus_filter(docs_tbl),
          "Three doc_id-keyed signal aggregates joined on doc_id; the "
          "stopword dim broadcasts; no extra pass over text beyond the "
          "signals themselves."),
+        ("curation flagship (curation.curate_corpus)",
+         __import__("widiff_spark.curation", fromlist=["x"]).curate_corpus(
+             docs_tbl, docs_tbl.filter("doc_id % 23 = 0")
+             .selectExpr("doc_id as bench_id", "text"), target_rows=100),
+         "The narrow per-doc verdict frame shows as InMemoryTableScan at "
+         "every one of its FOUR references (final fate join, sampler "
+         "scan, mixture stats x2) — round 6: without the persist, Spark "
+         "re-executed the gram-explode decontamination and the quality "
+         "cascade once per reference (stage attribution in "
+         "BENCH/BASELINE.md).  The resampling tail itself is a broadcast "
+         "weights join + map-only hash-threshold filter."),
     ]
 
     out = ["# PLANS.md — physical plans of the headline operators",

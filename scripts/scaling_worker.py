@@ -42,14 +42,19 @@ def main() -> None:
 
     (spark.range(cpus * 8 * 1000).repartition(cpus * 8)
      .mapInPandas(_noop, "n long").count())
-    fixtures.corpus_from_documents(spark, sf_dir, repeat=1).count()
 
-    # corpus synthesis is input prep, not engine time: materialize first
+    # input synthesis is prep, not engine time: materialize ONLY the
+    # fixture the selected job reads (the curate job once paid a x-repeat
+    # KG corpus write it never read — at repeat=72 that was ~15 min of
+    # unused prep per level, dwarfing the measured window)
     import shutil
     import tempfile
     workdir = tempfile.mkdtemp(prefix="widiff_scaling_")
-    fixtures.corpus_from_documents(spark, sf_dir, repeat=repeat) \
-        .write.mode("overwrite").parquet(f"{workdir}/corpus")
+    job = os.environ.get("WIDIFF_SCALING_JOB", "pipeline")
+    if job != "curate":
+        fixtures.corpus_from_documents(spark, sf_dir, repeat=1).count()
+        fixtures.corpus_from_documents(spark, sf_dir, repeat=repeat) \
+            .write.mode("overwrite").parquet(f"{workdir}/corpus")
 
     # measured window: the engine core (parse -> grouped diff -> one-pass
     # aggregation).  Single action, no cache/spill — so the number reflects
@@ -58,8 +63,6 @@ def main() -> None:
     from pyspark.sql import functions as F
     from widiff_spark import diff as D, parse as P
 
-    docs = spark.read.parquet(f"{workdir}/corpus")
-    job = os.environ.get("WIDIFF_SCALING_JOB", "pipeline")
     elapsed = None
     if job == "curate":
         # curation-flagship variant: all four gates over the documents
@@ -80,6 +83,10 @@ def main() -> None:
         bench_docs = dtbl.filter("doc_id % 23 = 0") \
             .selectExpr("doc_id as bench_id", "text")
         for _ in range(2):
+            # each attempt a full re-execution: curate_corpus persists
+            # its verdict frame, which CacheManager would otherwise hand
+            # to the identical second-attempt plan
+            spark.catalog.clearCache()
             t0 = time.time()
             n_docs = curation.curate_corpus(
                 dtbl, bench_docs, target_rows=1000).count()
@@ -87,6 +94,7 @@ def main() -> None:
             elapsed = dt if elapsed is None else min(elapsed, dt)
         n_revisions = n_triples = n_docs
     else:
+        docs = spark.read.parquet(f"{workdir}/corpus")
         for _ in range(2):
             t0 = time.time()
             unified = D.extract_changes(P.parse_documents(docs))

@@ -72,6 +72,17 @@ class TestCurateCorpus:
             docs.repartition(13), bench, target_rows=50).collect()}
         assert again == {k: v.fate for k, v in fates.items()}
 
+    def test_verdict_persist_is_physical_only(self, spark, docs, bench,
+                                              fates):
+        """persist_verdicts caches the multiply-referenced verdict frame
+        (4 references in the tail re-execute it otherwise) — a physical
+        substitution that must not change a single fate."""
+        spark.catalog.clearCache()
+        off = {r.doc_id: r.fate for r in curation.curate_corpus(
+            docs, bench, target_rows=50,
+            persist_verdicts=False).collect()}
+        assert off == {k: v.fate for k, v in fates.items()}
+
 
 class TestSemDedup:
     """similarity.semdedup — cluster-scoped greedy semantic pruning."""

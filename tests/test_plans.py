@@ -346,3 +346,27 @@ class TestStagingPartitionPruning:
         assert n_total > 2
         expect = docs.filter(checkpoint.bucket_col().isin([3, 7])).count()
         assert pruned.count() == expect > 0
+
+
+class TestCurateVerdictCache:
+    def test_verdict_frame_cached_at_every_reference(self, spark):
+        """Round-6 stage attribution (BENCH/BASELINE.md): the curation
+        tail references the per-doc verdict frame four times (final fate
+        join, sampler scan, mixture stats x2); without the persist each
+        reference re-executes the gram-explode decontamination and the
+        quality cascade.  The plan must therefore read the verdict frame
+        through InMemoryTableScan, and the expensive gates must appear at
+        most once outside it."""
+        from widiff_spark import curation
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        bench = docs.filter("doc_id % 23 = 0") \
+            .selectExpr("doc_id as bench_id", "text")
+        out = curation.curate_corpus(docs, bench, target_rows=50)
+        p = plan(out)
+        assert p.count("InMemoryTableScan") >= 4, p
+        spark.catalog.clearCache()
+        off = curation.curate_corpus(docs, bench, target_rows=50,
+                                     persist_verdicts=False)
+        assert "InMemoryTableScan" not in plan(off)
+        spark.catalog.clearCache()

@@ -24,12 +24,24 @@ from widiff_spark import dedup, sampling, textops
 
 def curate_corpus(docs: DataFrame, benchmark: DataFrame,
                   target_rows: int | None = None, alpha: float = 0.5,
-                  min_jaccard: float = 0.5) -> DataFrame:
+                  min_jaccard: float = 0.5,
+                  persist_verdicts: bool = True) -> DataFrame:
     """Run the four curation gates in pipeline order and label every
     document: 'filtered:<rule>' | 'duplicate' | 'contaminated' |
     'resampled_out' | 'kept'.  The mixture weights are computed over the
     SURVIVORS of the first three gates (resampling a cleaned corpus, not
     the raw one), with ``target_rows`` the approximate kept-size.
+
+    ``persist_verdicts`` (default on) caches the per-doc verdict frame
+    (MEMORY_AND_DISK) before the resampling tail.  The tail references
+    that subtree FOUR times — the final fate join, the sampler scan, and
+    the mixture-stats aggregate twice — and Spark re-executes a
+    multiply-referenced subtree per reference, so without the cache the
+    gram-explode decontamination and the quality cascade run 4x (measured
+    410 s -> see BENCH/BASELINE.md round-6 stage attribution).  The
+    frame is narrow — doc_id + three flags + a short reason, orders of
+    magnitude smaller than the text corpus — which is exactly the shape
+    one persists (or materializes to a verdict table) at 100 TB.
 
     Returns (doc_id, lang, source, fate, kept)."""
     filt = textops.corpus_filter(docs)
@@ -39,6 +51,9 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
             .join(filt.select("doc_id", "keep", "reason"), "doc_id")
             .join(comp.select("doc_id", "is_canonical"), "doc_id")
             .join(cont.select("doc_id", "is_contaminated"), "doc_id"))
+    if persist_verdicts:
+        from pyspark.storagelevel import StorageLevel
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     surv = base.filter(F.col("keep") & F.col("is_canonical")
                        & ~F.col("is_contaminated"))
     weights = sampling.temperature_weights(surv, "source", alpha=alpha,

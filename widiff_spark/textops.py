@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from widiff_spark.spread import spread_small_scan
+
 # tiny per-language stopword lists for the n-gram/stopword heuristic;
 # deterministic and mirrored into the SQL oracle
 STOPWORDS = {
@@ -171,6 +173,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     contamination = colliding / total distinct grams of the doc; docs
     shorter than ``n`` tokens have n_grams = 0 and are never flagged.
     """
+    docs = spread_small_scan(docs)
     bench_grams = F.broadcast(
         ngram_set(benchmark, "bench_id", n).select("gram").distinct())
     doc_grams = ngram_set(docs, "doc_id", n)
@@ -212,6 +215,7 @@ def vocabulary(docs: DataFrame, top_k: int = 200) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    docs = spread_small_scan(docs)
     tok = docs.select("doc_id",
                       F.explode(F.split(_norm(), " ")).alias("token"))
     vocab = (tok.groupBy("token")
@@ -234,6 +238,7 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     is ~vocabulary-sized, so AQE picks broadcast vs shuffle join by its
     actual size (no hint) — and the per-doc mean is one partial+final
     aggregate.  Returns (doc_id, n_tokens, mean_logprob)."""
+    docs = spread_small_scan(docs)
     tok = docs.select("doc_id",
                       F.explode(F.split(_norm(), " ")).alias("token"))
     vocab = tok.groupBy("token").agg(F.count("*").alias("tf"))
@@ -263,6 +268,7 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
 
     Returns (doc_id, n_tokens, type_token_ratio, top_bigram_frac,
     dup_bigram_frac); docs under 2 tokens report 0 bigram fractions."""
+    docs = spread_small_scan(docs)
     toks = F.split(_norm(), " ")
     base = docs.select("doc_id", toks.alias("toks"))
     per_row = base.select(
@@ -356,6 +362,7 @@ def dsir_logratio(raw: DataFrame, target: DataFrame,
     ``n_buckets`` (10^5-10^6 rows still broadcasts in MBs).
 
     Returns (doc_id, n_grams, dsir_score); gram-less docs score 0."""
+    raw = spread_small_scan(raw)
     rg = _hashed_bigrams(raw, n_buckets)
     tg = _hashed_bigrams(target, n_buckets)
     rc = rg.groupBy("bucket").agg(F.count("*").alias("c_raw"))
@@ -402,6 +409,7 @@ def corpus_filter(docs: DataFrame, min_tokens: int = 15,
     signal frames are doc_id-keyed aggregates, so the composition is
     doc_id-partitioned joins with no new skew axis — the filter costs
     the sum of its signals, not a new pass over the text."""
+    docs = spread_small_scan(docs)
     sig = (quality_score(docs)
            .select("doc_id", "n_tokens", "stopword_ratio")
            .join(language_id(docs).select("doc_id", "lang_pred"), "doc_id")
