@@ -83,6 +83,24 @@ class TestCurateCorpus:
             persist_verdicts=False).collect()}
         assert off == {k: v.fate for k, v in fates.items()}
 
+    def test_verdict_cache_handle_released_by_caller(self, spark, docs,
+                                                     bench):
+        """ADVICE r6: long-lived sessions need a way to release the
+        verdict cache without clearCache() — the returned frame exposes
+        the persisted handle as ``widiff_verdict_cache``."""
+        out = curation.curate_corpus(docs, bench, target_rows=50)
+        handle = out.widiff_verdict_cache
+        assert handle is not None
+        out.count()  # materialize the cache
+        assert handle.storageLevel.useMemory or \
+            handle.storageLevel.useDisk
+        handle.unpersist(blocking=True)
+        assert not (handle.storageLevel.useMemory
+                    or handle.storageLevel.useDisk)
+        off = curation.curate_corpus(docs, bench, target_rows=50,
+                                     persist_verdicts=False)
+        assert off.widiff_verdict_cache is None
+
 
 class TestSemDedup:
     """similarity.semdedup — cluster-scoped greedy semantic pruning."""

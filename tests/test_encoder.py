@@ -319,6 +319,18 @@ class TestActivations:
         ref = np.array([math.erf(v) for v in xs])
         assert np.max(np.abs(_erf(xs) - ref)) < 1e-14
 
+    def test_erf_propagates_nan(self):
+        """ADVICE r6: no regime mask covers NaN, so an uninitialized
+        output buffer would leak arbitrary memory into GELU — NaN in
+        must be NaN out (detectable), like math.erf."""
+        from widiff_spark.encoder import _erf
+
+        out = _erf(np.array([np.nan, 0.25, np.nan, 2.0, -np.inf,
+                             np.inf]))
+        assert np.isnan(out[0]) and np.isnan(out[2])
+        assert not np.isnan(out[1]) and not np.isnan(out[3])
+        assert out[4] == -1.0 and out[5] == 1.0
+
     def test_unknown_activation_fails_at_load(self, model_dir):
         import json
         import os

@@ -228,15 +228,14 @@ class TestRound3Plans:
         assert "BroadcastHashJoin" in p  # probes broadcast to the corpus
 
 
-def test_dedup_rdd_probe_only_on_derived_inputs():
-    """The spread probe is two-tier (VERDICT r3 nit #4 + r5 defect #2):
-    file-backed plans — the 100 TB path — answer from ``inputFiles``
-    without touching ``.rdd``; only the non-file-backed fallback may pay
-    one ``getNumPartitions()`` (physical planning, no job).  Round 6
-    moved the probe to the shared ``spread.spread_small_scan`` (dedup +
-    the textops gates).  Pin it at the source level: zero ``.rdd`` sites
-    left in dedup.py, and in spread.py exactly one, inside the
-    ``n_files == 0`` branch, after the inputFiles probe."""
+def test_dedup_rdd_probe_split_count_first():
+    """Round 7 made the spread probe split-aware (VERDICT r6 defect #2 /
+    ask #2): tier 1 is the scan's REAL split count —
+    ``rdd.getNumPartitions()`` reflects byte-splits of large files, so
+    file count never gates a shuffle.  Pin it at the source level: zero
+    ``.rdd`` sites in dedup.py, exactly one in spread.py, and it runs
+    BEFORE the inputFiles probe (the 100 TB few-large-files layout must
+    exit on the split count alone, never reaching the size heuristic)."""
     import pathlib
 
     from widiff_spark import dedup as _d, spread as _s
@@ -244,10 +243,85 @@ def test_dedup_rdd_probe_only_on_derived_inputs():
     assert ".rdd" not in pathlib.Path(_d.__file__).read_text()
     src = pathlib.Path(_s.__file__).read_text()
     assert src.count(".rdd") == 1
-    probe = src.index("inputFiles()")
-    rdd = src.index(".rdd")
-    assert probe < rdd
-    assert "if n_files == 0:" in src[probe:rdd]
+    assert src.index(".rdd") < src.index("inputFiles()")
+
+
+class TestSpreadSplitAware:
+    """VERDICT r6 defect #2 + #3 / asks #2-3: the spread guard must key
+    on scan SPLITS and data size, not file count."""
+
+    def _docs(self, spark, tmp_path, n_docs, doc_len, name):
+        path = str(tmp_path / name)
+        (spark.range(n_docs).selectExpr(
+            "id AS doc_id",
+            f"repeat(concat('w', CAST(id % 97 AS STRING), ' '), "
+            f"{doc_len // 4}) AS text")
+         .coalesce(1).write.mode("overwrite").parquet(path))
+        return path
+
+    def test_multi_split_large_file_not_repartitioned(self, spark,
+                                                      tmp_path):
+        """ONE file whose byte-splits already >= defaultParallelism (the
+        few-large-files 100 TB layout, miniaturized via a tiny
+        maxPartitionBytes) must pass through identity — the round-6
+        file-count tier inserted a full-corpus exchange here."""
+        from widiff_spark import spread
+
+        path = str(tmp_path / "big_one_file")
+        # sha2 text is incompressible, so the single parquet file is
+        # big enough to byte-split many ways under a tiny split size
+        (spark.range(2000).selectExpr(
+            "id AS doc_id",
+            "concat_ws(' ', sha2(CAST(id AS STRING), 256), "
+            "sha2(CAST(id + 7 AS STRING), 256)) AS text")
+         .coalesce(1).write.mode("overwrite").parquet(path))
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        try:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+            df = spark.read.parquet(path)
+            par = spark.sparkContext.defaultParallelism
+            assert len(df.inputFiles()) < par  # the layout under test
+            assert df.rdd.getNumPartitions() >= par
+            out = spread.spread_small_scan(df)
+            assert out is df
+            p = plan(out)
+            assert "RoundRobin" not in p and "REPARTITION" not in p, p
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    def test_tiny_corpus_not_repartitioned(self, spark, tmp_path):
+        """A sub-MB single-file corpus (the sf0.1 bench shape) stays
+        identity: est decompressed bytes per task is far below
+        MIN_SPREAD_BYTES_PER_TASK, so the shuffle would cost more than
+        the narrow scan (round-6 regressed these lines 3-7x)."""
+        from widiff_spark import spread
+
+        path = self._docs(spark, tmp_path, 500, 300, "tiny")
+        df = spark.read.parquet(path)
+        assert df.rdd.getNumPartitions() < \
+            spark.sparkContext.defaultParallelism
+        assert spread.spread_small_scan(df) is df
+
+    def test_large_narrow_scan_spreads_to_data_width(self, spark,
+                                                     tmp_path,
+                                                     monkeypatch):
+        """The 180k-docs-in-one-15-MB-file shape (round-6 curate root
+        cause) must still spread — to the width the data justifies,
+        capped at defaultParallelism.  Thresholds are scaled down so the
+        fixture stays small."""
+        from widiff_spark import spread
+
+        path = self._docs(spark, tmp_path, 2000, 400, "dense")
+        df = spark.read.parquet(path)
+        splits = df.rdd.getNumPartitions()
+        par = spark.sparkContext.defaultParallelism
+        assert splits < par
+        monkeypatch.setattr(spread, "MIN_SPREAD_BYTES_PER_TASK", 1 << 10)
+        monkeypatch.setattr(spread, "TARGET_CHUNK_BYTES", 1 << 14)
+        out = spread.spread_small_scan(df)
+        width = out.rdd.getNumPartitions()
+        assert splits < width <= par
+        assert "RoundRobin" in plan(out)
 
 
 class TestShinglesSpreadProbe:

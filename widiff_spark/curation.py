@@ -43,7 +43,25 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
     magnitude smaller than the text corpus — which is exactly the shape
     one persists (or materializes to a verdict table) at 100 TB.
 
+    The cached blocks live until released: long-lived sessions calling
+    this repeatedly should release each result's cache when done with it
+    via the ``widiff_verdict_cache`` attribute on the returned frame —
+    ``result.widiff_verdict_cache.unpersist()`` — rather than nuking the
+    whole session cache with ``spark.catalog.clearCache()`` (ADVICE r6).
+    With ``persist_verdicts=False`` the attribute is None and there is
+    nothing to release.
+
     Returns (doc_id, lang, source, fate, kept)."""
+    from widiff_spark.spread import spread_small_scan
+
+    # one spread decision for the whole composition: curate runs FOUR
+    # CPU-dense passes over the same input (quality cascade, shingle
+    # minhash, gram decontamination, plus the fate join), so the input
+    # earns the shingle-grade weight even though each individual textops
+    # gate probes at weight 1 — and spreading here means the gates'
+    # own probes see the already-widened frame and stay identity (the
+    # round-6 curate scaling root cause is fixed once, at the top)
+    docs = spread_small_scan(docs, weight=16)
     filt = textops.corpus_filter(docs)
     comp = dedup.duplicate_components(docs, min_jaccard=min_jaccard)
     cont = textops.decontaminate(docs, benchmark)
@@ -66,10 +84,14 @@ def curate_corpus(docs: DataFrame, benchmark: DataFrame,
             .when(F.col("is_contaminated"), F.lit("contaminated"))
             .when(F.col("_sampled").isNull(), F.lit("resampled_out"))
             .otherwise(F.lit("kept")))
-    return (base.join(sampled, "doc_id", "left")
-            .withColumn("fate", fate)
-            .select("doc_id", "lang", "source", "fate",
-                    (F.col("fate") == "kept").alias("kept")))
+    out = (base.join(sampled, "doc_id", "left")
+           .withColumn("fate", fate)
+           .select("doc_id", "lang", "source", "fate",
+                   (F.col("fate") == "kept").alias("kept")))
+    # expose the persisted handle so callers can release the cache
+    # without clearing the whole session cache (see docstring)
+    out.widiff_verdict_cache = base if persist_verdicts else None
+    return out
 
 
 def verbalize_entities(labels: DataFrame) -> DataFrame:

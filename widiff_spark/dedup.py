@@ -57,7 +57,12 @@ def shingles(docs: DataFrame, width: int = DEFAULT_SHINGLE) -> DataFrame:
     passes through, as does a wide derived input already carrying its
     shuffle partitioning."""
     from widiff_spark.spread import spread_small_scan
-    docs = spread_small_scan(docs)
+    # weight 16: every shingle row feeds a k=128-way salted-md5 hash
+    # aggregate downstream (minhash_signature), an order of magnitude
+    # more CPU per input byte than the tokenize-grade textops passes —
+    # measured 2x faster spread at a corpus size (sf0.1, 5.9 MB) where
+    # the signal ops run fastest 1-way
+    docs = spread_small_scan(docs, weight=16)
     toks = F.split(_norm_text(F.col("text")), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - width, F.lit(0)))

@@ -83,7 +83,10 @@ _INV_SQRT_PI = 5.6418958354775628695e-1
 def _erf(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
     y = np.abs(x)
-    out = np.empty_like(y)
+    # NaN-initialized: none of the three regime masks covers NaN, so a
+    # corrupted weight / upstream overflow propagates as NaN (detectable)
+    # instead of np.empty_like garbage flowing into GELU (ADVICE r6)
+    out = np.full_like(y, np.nan)
 
     m1 = y <= 0.46875
     z = np.square(y[m1])

@@ -11,37 +11,103 @@ the scan stage becomes a serial bottleneck: the round-6 curate scaling
 probe measured the gram-explode decontamination running 1-way on 32
 cores (BENCH/BASELINE.md stage attribution).
 
-``spread_small_scan`` widens only that case, with the two-tier probe
-``dedup.shingles`` carried since r2 (now shared; VERDICT r3 nit #4 +
-r5 defect #2 adjudicated the tiers):
+``spread_small_scan`` widens only that case.  Round 7 made the probe
+split-aware (VERDICT r6 defect #2 / ask #2-3; ADVICE r6 #1): the round-6
+file tier compared FILE count to ``defaultParallelism``, but Spark
+already splits large files into byte-range scan tasks, so a corpus of a
+few multi-GB files — exactly the 100 TB layout the guard exists for —
+was eating a gratuitous full-corpus round-robin exchange.  The probe now
+asks three questions, cheapest first:
 
-* file-backed plans answer from ``inputFiles`` — plan-free, and always
-  large at scale, so the getNumPartitions tier below never runs on the
-  100 TB path;
-* non-file-backed plans (createDataFrame, join/filter outputs) fall
-  back to one ``rdd.getNumPartitions()`` — physical planning only, no
-  job — and spread only when the actual partition count is small: a
-  wide derived input already carrying its shuffle partitioning must
-  never eat a gratuitous corpus-sized round-robin exchange.
+1. How many scan tasks does the plan already have?
+   ``getNumPartitions()`` reflects byte-splits (physical planning
+   only, no job).  At or above ``defaultParallelism``: identity — the
+   100 TB path always exits here, shuffle-free.
+2. Is the data big enough per existing task to justify a shuffle?  For
+   locally stat-able file scans, estimated decompressed bytes =
+   file bytes x ``TEXT_COMPRESSION_FACTOR`` (~10x, measured on the
+   synthetic corpora; BENCH/BASELINE.md round-6).  Below
+   ``MIN_SPREAD_BYTES_PER_TASK`` per task the repartition costs more
+   than the serial scan (round-6 bench regressed the cheap textops lines
+   3-7x on a 0.6 MB corpus; VERDICT r6 defect #3): identity.
+3. Spread to the width the data justifies — one task per
+   ``TARGET_CHUNK_BYTES`` of decompressed text — capped at
+   ``defaultParallelism``, never narrower than the scan already is.
+
+Derived (non-file-backed) inputs and non-local URI schemes keep the
+round-6 behavior — spread to full parallelism whenever the plan carries
+fewer partitions — because their byte size is unknowable without running
+a job; tier 1 still protects wide derived frames (a join output carrying
+its shuffle partitioning is never re-shuffled).
 """
 
 from __future__ import annotations
 
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
 
+# parquet-to-plaintext expansion for natural-language columns, measured
+# ~10x on the synthetic corpora (BENCH/BASELINE.md round-6 stage table)
+TEXT_COMPRESSION_FACTOR = 10
+# decompressed bytes of text one CPU-dense gram pass handles per task
+TARGET_CHUNK_BYTES = 4 << 20
+# below this much decompressed text per EXISTING task, a round-robin
+# exchange costs more than the narrow scan it replaces
+MIN_SPREAD_BYTES_PER_TASK = 24 << 20
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
-    """Repartition ``df`` to the default parallelism iff its scan is
-    narrower than that; identity otherwise (see module docstring for
-    the two probe tiers)."""
+
+def _local_file_bytes(paths: list[str]) -> int | None:
+    """Sum of file sizes for local/file:// paths; None when any path is
+    remote or unstat-able (the probe then falls back to split count)."""
+    total = 0
+    for p in paths:
+        u = urlparse(p)
+        if u.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.stat(unquote(u.path)).st_size
+        except OSError:
+            return None
+    return total
+
+
+def spread_small_scan(df: DataFrame, weight: float = 1.0) -> DataFrame:
+    """Repartition ``df`` to the width its data justifies iff its scan
+    is narrower than the cluster AND large enough per task for the
+    shuffle to pay for itself; identity otherwise (see module
+    docstring for the three probe tiers).
+
+    ``weight`` is the caller's declared CPU density relative to a plain
+    tokenize pass — the size tier compares weight x decompressed bytes
+    against the per-task threshold, so a pass whose per-byte cost is an
+    order of magnitude above tokenizing (minhash shingling feeds every
+    shingle row into a k=128-way md5 aggregate) spreads at
+    correspondingly smaller corpora.  Measured at sf0.1 (5.9 MB of
+    text): the signal ops run fastest 1-way (the shuffle alone costs
+    3-7x their wall, VERDICT r6 defect #3) while minhash runs 2x faster
+    spread — one byte threshold cannot serve both densities."""
     sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    # physical planning only, no job; reflects byte-splits of large
+    # files, so a few-multi-GB-files corpus exits here un-shuffled
+    splits = df.rdd.getNumPartitions()
+    if splits >= par:
+        return df
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:  # non-file-backed plans (createDataFrame, joins)
-        n_files = 0
-    if n_files == 0:
-        if df.rdd.getNumPartitions() < sc.defaultParallelism:
-            return df.repartition(sc.defaultParallelism)
-    elif n_files < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+        files = []
+    if not files:
+        return df.repartition(par)
+    size = _local_file_bytes(files)
+    if size is None:
+        # remote scheme: splits < par already bounds the scan at
+        # splits x maxPartitionBytes — small enough to spread
+        return df.repartition(par)
+    est = size * TEXT_COMPRESSION_FACTOR * weight
+    if est <= splits * MIN_SPREAD_BYTES_PER_TASK:
+        return df
+    width = min(par, max(splits + 1, -(-int(est) // TARGET_CHUNK_BYTES)))
+    return df.repartition(int(width))

@@ -70,10 +70,18 @@ def run_streaming_pipeline(stream: DataFrame, staging_dir: str,
         if layout_checked:
             return
         layout_checked.append(True)
-        jvm = spark._jvm
+        try:
+            jvm = spark._jvm
+            jsc = spark._jsc
+            if jvm is None or jsc is None:
+                return
+        except AttributeError:
+            # Spark Connect sessions have no py4j gateway — the guard is
+            # best-effort; skip rather than crash the stream before the
+            # helpful error could ever fire (ADVICE r6)
+            return
         hpath = jvm.org.apache.hadoop.fs.Path(staging_dir)
-        fs = hpath.getFileSystem(
-            spark._jsc.hadoopConfiguration())
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
         if not fs.exists(hpath):
             return
         for status in fs.listStatus(hpath):
