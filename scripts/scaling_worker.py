@@ -51,7 +51,7 @@ def main() -> None:
     import tempfile
     workdir = tempfile.mkdtemp(prefix="widiff_scaling_")
     job = os.environ.get("WIDIFF_SCALING_JOB", "pipeline")
-    if job != "curate":
+    if job not in ("curate", "linking"):
         fixtures.corpus_from_documents(spark, sf_dir, repeat=1).count()
         fixtures.corpus_from_documents(spark, sf_dir, repeat=repeat) \
             .write.mode("overwrite").parquet(f"{workdir}/corpus")
@@ -90,6 +90,27 @@ def main() -> None:
             t0 = time.time()
             n_docs = curation.curate_corpus(
                 dtbl, bench_docs, target_rows=1000).count()
+            dt = time.time() - t0
+            elapsed = dt if elapsed is None else min(elapsed, dt)
+        n_revisions = n_triples = n_docs
+    elif job == "linking":
+        # entity-linking variant (VERDICT r6 ask #6): head broadcast +
+        # DF-capped bigram blocking + hash-aggregate top-1 over the
+        # documents table replicated repeat//2 x (same fixture scheme as
+        # the curate job) — same two-level pinned protocol.
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts"))
+        from scale_rehearsal import replicated_documents
+        from widiff_spark import linking
+        scale = max(1, repeat // 2)
+        replicated_documents(spark, sf_dir, scale) \
+            .write.mode("overwrite").parquet(f"{workdir}/docs")
+        dtbl = spark.read.parquet(f"{workdir}/docs")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n_docs = linking.link_mentions(dtbl).count()
             dt = time.time() - t0
             elapsed = dt if elapsed is None else min(elapsed, dt)
         n_revisions = n_triples = n_docs

