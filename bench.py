@@ -266,6 +266,12 @@ def main() -> None:
                 fixtures.corpus_from_documents(spark, SF_DIR)))).count(),
         "text_pack_documents": lambda: textops.pack_documents(
             docs_tbl, token_budget=512).count(),
+        "dedup_segments": lambda: dedup.duplicate_segments(
+            docs_tbl, width=3).count(),
+        "text_bigram_logprob": lambda: textops.bigram_logprob(
+            docs_tbl).count(),
+        "ann_knn_sq8": lambda: similarity.knn_sq8(emb, queries,
+                                                  k=10).count(),
     }
     cov_names = sorted(coverage)
     day = int(time.time()) // 86400

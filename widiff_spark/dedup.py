@@ -389,3 +389,41 @@ def duplicate_spans(docs: DataFrame, k: int = 10) -> DataFrame:
                     F.round(F.coalesce(F.col("dup_tokens"), F.lit(0))
                             / F.greatest("n_tokens", F.lit(1)), 4)
                     .alias("dup_token_frac")))
+
+
+def duplicate_segments(docs: DataFrame, width: int = 8) -> DataFrame:
+    """Segment-level cross-document dedup (the line/paragraph dedup every
+    production crawl pipeline runs — CCNet drops duplicated lines,
+    RefinedWeb duplicated paragraphs; this corpus has no line structure,
+    so the segment unit is the non-overlapping ``width``-token window of
+    the normalized text).
+
+    A segment position counts as duplicated when its text occurs in at
+    least one OTHER document.  Returns one row per document owning at
+    least one full segment: (doc_id, n_segments, n_dup_segments,
+    dup_segment_frac).
+
+    Scale shape: explode to (doc_id, segment) — ~n_tokens/width rows,
+    an order less than shingling — then ONE hash aggregate per segment
+    text counting distinct owners, joined back to the positions.  The
+    join key is the segment hash; a viral segment owned by millions of
+    docs is a hot COUNT, never a materialized pair list (same argument
+    as exact_duplicates, unlike pair-emitting dedup).  Map-side partial
+    aggregation collapses per-partition repeats before the shuffle."""
+    toks = F.split(_norm_text(F.col("text")), " ")
+    n_full = (F.size(toks) / width).cast("int")
+    idx = F.sequence(F.lit(0), n_full - 1)
+    segs = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(toks, i * width + 1, width)))
+    pos = (docs.filter(n_full >= 1)
+           .select("doc_id", F.explode(segs).alias("segment")))
+    owners = (pos.groupBy("segment")
+              .agg(F.count_distinct("doc_id").alias("_n_docs")))
+    return (pos.join(owners, "segment")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_segments"),
+                 F.sum((F.col("_n_docs") >= 2).cast("int")).cast("int")
+                 .alias("n_dup_segments"))
+            .withColumn("dup_segment_frac",
+                        F.round(F.col("n_dup_segments")
+                                / F.col("n_segments"), 4)))

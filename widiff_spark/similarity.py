@@ -324,3 +324,76 @@ def semdedup(embeddings: DataFrame, n_cells: int = 32,
             .select("vec_id", "cell_id",
                     F.round("c_cos", 4).alias("centroid_cos"),
                     F.col("_dup").isNull().alias("keep")))
+
+
+def sq8_bounds(embeddings: DataFrame, dim: int = 64) -> list[tuple]:
+    """Per-dimension (min, max) of the corpus — the SQ8 codebook.  ONE
+    partial-aggregated pass; the result is 2 x dim scalars (driver-safe
+    at any corpus size — this is a codebook fetch, not a data collect)."""
+    aggs = []
+    for d in range(dim):
+        e = F.element_at("embedding", d + 1).cast("double")
+        aggs.append(F.min(e).alias(f"mn{d}"))
+        aggs.append(F.max(e).alias(f"mx{d}"))
+    row = embeddings.agg(*aggs).collect()[0]
+    return [(row[f"mn{d}"], row[f"mx{d}"]) for d in range(dim)]
+
+
+def sq8_encode(embeddings: DataFrame, bounds: list[tuple],
+               emb_col: str = "embedding") -> DataFrame:
+    """8-bit scalar quantization: code_d = floor((x_d - min_d) /
+    (max_d - min_d) * 255), clamped to [0, 255]; constant dimensions
+    encode 0.  Map-only, zero shuffle; the 64-float vector becomes 64
+    bytes — 4x less scan/shuffle IO for every downstream consumer."""
+    mins = F.array(*[F.lit(float(mn)) for mn, _ in bounds])
+    rng = F.array(*[F.lit(float(mx - mn) if mx > mn else 1.0)
+                    for mn, mx in bounds])
+    codes = F.transform(
+        F.col(emb_col),
+        lambda x, i: F.least(
+            F.lit(255),
+            F.greatest(F.lit(0), F.floor(
+                (x.cast("double") - F.element_at(mins, i + 1))
+                / F.element_at(rng, i + 1) * 255).cast("int"))))
+    return embeddings.withColumn("sq8", codes)
+
+
+def knn_sq8(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+            dim: int = 64) -> DataFrame:
+    """Top-k cosine ANN over 8-bit scalar-quantized vectors with
+    asymmetric scoring (codes on the corpus side, full precision on the
+    query side) — the memory/IO-compression rung of the ANN ladder
+    (FAISS's SQ8 flat index): the corpus scan reads 64 BYTES per vector
+    instead of 64 floats, with recall governed only by quantization
+    error.  Reconstruction: x̂_d = min_d + code_d x (max_d - min_d)/255.
+
+    Scale shape: identical to knn_bruteforce — codebook via one
+    aggregate pass, encode + score map-only against the broadcast query
+    side, one per-query top-k reduction.  Combine with knn_ivf's cell
+    routing for the full IVF-SQ layout (assignment on reconstructed
+    vectors keeps write-time partitioning consistent).
+
+    Returns (query_id, vec_id, cosine, rank), cosine rounded to 4."""
+    bounds = sq8_bounds(embeddings, dim=dim)
+    mins = F.array(*[F.lit(float(mn)) for mn, _ in bounds])
+    rng = F.array(*[F.lit(float(mx - mn) if mx > mn else 1.0)
+                    for mn, mx in bounds])
+    recon = F.transform(
+        F.col("sq8"),
+        lambda c, i: F.element_at(mins, i + 1)
+        + c.cast("double") * F.element_at(rng, i + 1) / 255.0)
+    corpus = sq8_encode(embeddings, bounds).select(
+        "vec_id", recon.alias("recon"))
+    q = F.broadcast(queries.select(F.col("query_id"),
+                                   F.col("embedding").alias("q_emb")))
+    scored = (corpus.crossJoin(q)
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id",
+                      F.round(cosine_expr(F.col("recon"),
+                                          F.col("q_emb")), 4)
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id", "cosine", "rank"))

@@ -10,7 +10,7 @@ reproduces them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from widiff_spark.spread import spread_small_scan
 
@@ -249,6 +249,55 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     return (tok.join(lm, "token")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg("logp"), 4).alias("mean_logprob")))
+
+
+def bigram_logprob(docs: DataFrame, backoff: float = 0.4) -> DataFrame:
+    """Per-document mean log10-probability under the corpus's OWN bigram
+    LM with Stupid Backoff (Brants 2007) — the next fluency dial above
+    ``unigram_logprob``: S(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})
+    when the bigram was seen, else ``backoff`` x c(w_i) / N; the first
+    token scores c(w_1) / N.  Degenerate repetition scores HIGH here and
+    normal prose in the middle band, so the filter cut is two-sided,
+    same as the unigram dial.
+
+    Scale shape: both count tables are wordcount aggregates (map-side
+    combine); scoring joins each token position to the unigram LM and
+    each bigram position LEFT to the bigram LM — joins keyed by gram,
+    where a hot gram is a hot hash-join key against a 1-row count,
+    never a pair explosion — and the per-doc mean is one partial+final
+    aggregate on doc_id.  At 100 TB both LMs are ~vocabulary-sized;
+    AQE picks broadcast vs shuffle join by actual size (no hint).
+
+    Returns (doc_id, n_tokens, mean_logprob), one row per doc with >= 1
+    token."""
+    docs = spread_small_scan(docs)
+    toks = F.split(_norm(), " ")
+    pos = (docs.select("doc_id", F.posexplode(toks)
+                       .alias("p", "token"))
+           .withColumn("prev", F.lag("token").over(
+               Window.partitionBy("doc_id").orderBy("p"))))
+    uni = pos.groupBy("token").agg(F.count("*").alias("uc"))
+    total = uni.agg(F.sum("uc").alias("_total"))
+    big = (pos.filter(F.col("prev").isNotNull())
+           .groupBy("prev", "token").agg(F.count("*").alias("bc")))
+    scored = (pos
+              .join(uni, "token")
+              .join(big, ["prev", "token"], "left")
+              .crossJoin(F.broadcast(total))
+              .join(uni.select(F.col("token").alias("prev"),
+                               F.col("uc").alias("prev_uc")),
+                    "prev", "left")
+              .withColumn("logp", F.when(
+                  F.col("prev").isNull(),
+                  F.log10(F.col("uc") / F.col("_total")))
+                  .when(F.col("bc").isNotNull(),
+                        F.log10(F.col("bc") / F.col("prev_uc")))
+                  .otherwise(F.log10(F.lit(backoff) * F.col("uc")
+                                     / F.col("_total"))))
+              )
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_tokens"),
                  F.round(F.avg("logp"), 4).alias("mean_logprob")))
 
 
