@@ -467,3 +467,56 @@ class TestCurateVerdictCache:
                                      persist_verdicts=False)
         assert "InMemoryTableScan" not in plan(off)
         spark.catalog.clearCache()
+
+
+class TestRound7NewOperatorPlans:
+    """Plan gates for the round-7 operators (segment dedup, Stupid-Backoff
+    bigram LM, SQ8 ANN) — same scale arguments as their docstrings."""
+
+    def test_bigram_logprob_plan_is_window_free(self, spark):
+        """The predecessor token must come from the posexplode-carried
+        array (element_at on the SAME row), not a lag window: the position
+        stream is referenced three times (unigram LM, bigram LM, scoring),
+        and a window's Sort+Exchange of the full token stream would
+        re-execute per reference — two gratuitous full-corpus sorts."""
+        from widiff_spark import textops
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = plan(textops.bigram_logprob(docs))
+        assert "Window" not in p, p
+        assert "CartesianProduct" not in p
+        # LM joins are equi hash joins on the gram key; the only
+        # nested-loop is the broadcast of the 1-row normalizer total
+        # (formatted mode prints every node once in the tree and once
+        # in the detail section — count distinct node ids)
+        import re
+        bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
+        assert len(bnlj) <= 1, p
+
+    def test_duplicate_segments_partial_agg_equijoin(self, spark):
+        """Owner counting must partial-aggregate per partition before the
+        shuffle (viral segments collapse map-side), and the join back to
+        positions must be an equi-join on the segment key."""
+        from widiff_spark import dedup
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = plan(dedup.duplicate_segments(docs, width=3))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert p.count("HashAggregate") >= 2, p
+        assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                or "BroadcastHashJoin" in p)
+
+    def test_knn_sq8_broadcasts_query_side(self, spark):
+        """SQ8 scoring is the labeled exact scan: corpus map-only against
+        the broadcast query side (same shape as knn_bruteforce), with the
+        codebook folded in as literals — no extra join for the bounds."""
+        from widiff_spark import similarity
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = emb.filter("vec_id < 5").selectExpr("vec_id as query_id",
+                                                "embedding")
+        p = plan(similarity.knn_sq8(emb, q, k=3))
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+        # distinct node ids (formatted mode prints each node twice):
+        # the query-side BroadcastExchange + the per-query top-k shuffle
+        import re
+        ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", p))
+        assert len(ex) <= 2, p

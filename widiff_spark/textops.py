@@ -266,17 +266,24 @@ def bigram_logprob(docs: DataFrame, backoff: float = 0.4) -> DataFrame:
     each bigram position LEFT to the bigram LM — joins keyed by gram,
     where a hot gram is a hot hash-join key against a 1-row count,
     never a pair explosion — and the per-doc mean is one partial+final
-    aggregate on doc_id.  At 100 TB both LMs are ~vocabulary-sized;
-    AQE picks broadcast vs shuffle join by actual size (no hint).
+    aggregate on doc_id.  The predecessor token comes from the SAME ROW
+    (posexplode carries the token array; prev = element_at(toks, p)),
+    not a lag window — a window would sort the full token stream per
+    subtree reference, and this plan references the position stream
+    three times (plan-asserted window-free).  At 100 TB both LMs are
+    ~vocabulary-sized; AQE picks broadcast vs shuffle join by actual
+    size (no hint).
 
     Returns (doc_id, n_tokens, mean_logprob), one row per doc with >= 1
     token."""
     docs = spread_small_scan(docs)
     toks = F.split(_norm(), " ")
-    pos = (docs.select("doc_id", F.posexplode(toks)
-                       .alias("p", "token"))
-           .withColumn("prev", F.lag("token").over(
-               Window.partitionBy("doc_id").orderBy("p"))))
+    pos = (docs.select("doc_id", toks.alias("_toks"))
+           .select("doc_id", F.posexplode("_toks").alias("p", "token"),
+                   F.col("_toks"))
+           .select("doc_id", "token",
+                   F.when(F.col("p") > 0,
+                          F.element_at("_toks", F.col("p"))).alias("prev")))
     uni = pos.groupBy("token").agg(F.count("*").alias("uc"))
     total = uni.agg(F.sum("uc").alias("_total"))
     big = (pos.filter(F.col("prev").isNotNull())
