@@ -272,6 +272,12 @@ def main() -> None:
             docs_tbl).count(),
         "ann_knn_sq8": lambda: similarity.knn_sq8(emb, queries,
                                                   k=10).count(),
+        "dedup_canonical": lambda: dedup.canonical_corpus(
+            docs_tbl).count(),
+        "text_source_stats": lambda: textops.source_stats(
+            docs_tbl).count(),
+        "sample_curriculum": lambda: sampling.curriculum_buckets(
+            docs_tbl).count(),
     }
     cov_names = sorted(coverage)
     day = int(time.time()) // 86400

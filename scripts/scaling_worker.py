@@ -51,7 +51,7 @@ def main() -> None:
     import tempfile
     workdir = tempfile.mkdtemp(prefix="widiff_scaling_")
     job = os.environ.get("WIDIFF_SCALING_JOB", "pipeline")
-    if job not in ("curate", "linking"):
+    if job not in ("curate", "linking", "closure"):
         fixtures.corpus_from_documents(spark, sf_dir, repeat=1).count()
         fixtures.corpus_from_documents(spark, sf_dir, repeat=repeat) \
             .write.mode("overwrite").parquet(f"{workdir}/corpus")
@@ -114,6 +114,31 @@ def main() -> None:
             dt = time.time() - t0
             elapsed = dt if elapsed is None else min(elapsed, dt)
         n_revisions = n_triples = n_docs
+    elif job == "closure":
+        # transitive-closure variant: the semi-naive fixpoint over
+        # repeat//2 salted DISJOINT copies of the depth-~log2(n_docs)
+        # binary-tree hierarchy (salting suffixes node ids, so depth —
+        # and with it the sequential round count — is unchanged while
+        # per-round join width scales with the copies; a real 100 TB
+        # P279 graph scales the same way: wide, not deeper).  Edge
+        # synthesis is prep (written to parquet, unmeasured); the
+        # measured window is transitive_closure().count() alone.
+        from widiff_spark import closure as C
+        scale = max(1, repeat // 2)
+        rep = spark.range(scale).selectExpr("id as _rep")
+        (C.hierarchy_edges(spark, sf_dir).crossJoin(rep)
+         .selectExpr("property_id",
+                     "concat(src, '_', _rep) as src",
+                     "concat(dst, '_', _rep) as dst")
+         .write.mode("overwrite").parquet(f"{workdir}/edges"))
+        etbl = spark.read.parquet(f"{workdir}/edges")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n_pairs = C.transitive_closure(etbl).count()
+            dt = time.time() - t0
+            elapsed = dt if elapsed is None else min(elapsed, dt)
+        n_revisions = n_triples = n_pairs
     else:
         docs = spark.read.parquet(f"{workdir}/corpus")
         for _ in range(2):

@@ -520,3 +520,52 @@ class TestRound7NewOperatorPlans:
         import re
         ex = set(re.findall(r"\((\d+)\) (?:Broadcast)?Exchange", p))
         assert len(ex) <= 2, p
+
+
+class TestRound7bOperatorPlans:
+    """Plan gates for the second round-7 batch (canonical dedup,
+    source stats, curriculum buckets, one-pass rollup)."""
+
+    def test_source_stats_is_single_scan_no_join(self, spark):
+        """Quality must be computed inline (shared _quality_exprs), not
+        joined back on doc_id — the whole operator is scan -> project ->
+        one source-keyed aggregate.  A join would shuffle the corpus
+        twice on a key the aggregate never uses."""
+        from widiff_spark import textops
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = plan(textops.source_stats(docs))
+        assert "Join" not in p, p
+        assert "Window" not in p
+        assert p.count("documents.parquet") <= 2  # tree + detail section
+
+    def test_curriculum_has_no_global_sort_or_window(self, spark):
+        """The ntile() formulation would global-sort the corpus through a
+        single-partition window; the percentile formulation must show no
+        Window and no Sort over the doc stream — only the 1-row
+        threshold broadcast (a BroadcastNestedLoopJoin is expected)."""
+        from widiff_spark import sampling
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = plan(sampling.curriculum_buckets(docs))
+        assert "Window" not in p, p  # Window-free rules out ntile too
+        bnlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", p))
+        assert len(bnlj) == 1, p
+
+    def test_grouping_sets_single_scan_expand(self, spark):
+        """ROLLUP must compute all three granularities from ONE scan via
+        Expand — the point of replacing the k-scan UNION ALL."""
+        p = plan(relops.q_grouping_sets(spark, SF))
+        assert "Expand" in p
+        scans = set(re.findall(r"\((\d+)\) Scan parquet", p))
+        assert len(scans) == 1, p
+
+    def test_canonical_winner_is_hash_aggregate_not_window(self, spark):
+        """The representative must come from a max_by hash aggregate on
+        component_id (partial-aggregated map-side), not a per-component
+        row_number window (sort + tall-partition risk on a viral
+        cluster)."""
+        from widiff_spark import dedup
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = plan(dedup.canonical_corpus(docs))
+        assert "Window" not in p, p
+        assert "CartesianProduct" not in p
+        assert "max_by" in p or "HashAggregate" in p

@@ -427,3 +427,39 @@ def duplicate_segments(docs: DataFrame, width: int = 8) -> DataFrame:
             .withColumn("dup_segment_frac",
                         F.round(F.col("n_dup_segments")
                                 / F.col("n_segments"), 4)))
+
+
+def canonical_corpus(docs: DataFrame, min_jaccard: float = 0.5,
+                     k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+                     width: int = DEFAULT_SHINGLE) -> DataFrame:
+    """Quality-aware cluster-representative selection — the dedup step
+    production pipelines actually ship: after near-dup clustering, keep
+    the BEST document of each cluster (not the arbitrary min-id), where
+    best = highest heuristic quality score, ties to the lowest doc_id.
+    (CCNet and RefinedWeb keep one representative per duplicate cluster;
+    min-id keeps whatever crawled first, which systematically prefers
+    older, often worse, captures.)
+
+    Returns one row per document: (doc_id, component_id, component_size,
+    quality, is_kept) — ``is_kept`` marks the cluster representative;
+    filtering on it yields the deduplicated corpus.
+
+    Scale shape: reuses duplicate_components' bounded-round machinery
+    (bucketed LSH pairs, O(log n) large/small-star contraction), adds
+    ONE quality pass over the corpus (map-only column algebra), one
+    per-component max_by hash aggregate — the winner struct is
+    (quality, -doc_id), so ties break deterministically without a sort
+    — and one equi-join of the winner table back on component_id.  No
+    window over the corpus, no global sort: a 100 TB corpus pays one
+    extra aggregate + join beyond the clustering it already ran."""
+    from widiff_spark.textops import quality_score
+    comp = duplicate_components(docs, min_jaccard, k, bands, width)
+    q = quality_score(docs).select("doc_id", "quality")
+    scored = comp.join(q, "doc_id")
+    winners = scored.groupBy("component_id").agg(
+        F.max_by("doc_id", F.struct(F.col("quality"),
+                                    (-F.col("doc_id")).alias("_nid")))
+        .alias("_kept"))
+    return (scored.join(winners, "component_id")
+            .select("doc_id", "component_id", "component_size", "quality",
+                    (F.col("doc_id") == F.col("_kept")).alias("is_kept")))

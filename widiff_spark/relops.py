@@ -71,6 +71,26 @@ def q_union_rollup(spark, sf_dir):
     return out.orderBy("metric")
 
 
+def q_grouping_sets(spark, sf_dir):
+    """One-pass multi-granularity rollup — the scalable replacement for
+    A6's k-scan UNION ALL: GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    computes the detail, per-flag subtotal, and grand total in a SINGLE
+    scan via Expand + one partially-aggregated shuffle (each input row
+    fans to 3 grouping-set rows map-side, collapsed by partial agg
+    before the exchange).  At 100 TB this is 1 pass instead of 3; the
+    UNION ALL formulation re-reads the fact table per granularity.
+    grouping_id() disambiguates NULL-as-subtotal from NULL data (bit
+    order: first rollup column = MSB, the ANSI convention both Spark
+    and DuckDB implement)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+                 F.count("*").alias("n_rows"),
+                 F.grouping_id().cast("int").alias("grp"))
+            .orderBy("grp", "l_returnflag", "l_linestatus"))
+
+
 def q_histogram(spark, sf_dir):
     """A7: width-bucket histogram of extended price."""
     li = _t(spark, sf_dir, "lineitem")
@@ -296,6 +316,16 @@ ORACLE_SQL: dict[str, str] = {
           SELECT 'max_price', round(max(l_extendedprice), 2) FROM lineitem
         ) ORDER BY metric
     """,
+    "rel_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               count(*) AS n_rows,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS grp
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY grp, l_returnflag, l_linestatus
+    """,
     "rel_histogram": """
         SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
                count(*) AS n
@@ -417,6 +447,7 @@ QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_count_distinct": q_count_distinct,
     "rel_union_rollup": q_union_rollup,
+    "rel_grouping_sets": q_grouping_sets,
     "rel_histogram": q_histogram,
     "rel_stats_assembly": q_stats_assembly,
     "rel_broadcast_join": q_broadcast_join,

@@ -179,3 +179,37 @@ def shard_by_tokens(docs: DataFrame, n_shards: int = 16,
     shard = F.when(F.floor(r / n_shards) % 2 == 0, fwd) \
         .otherwise(n_shards - 1 - fwd)
     return base.withColumn("shard", shard.cast("int"))
+
+
+def curriculum_buckets(docs: DataFrame,
+                       probs: tuple = (0.25, 0.5, 0.75)) -> DataFrame:
+    """Quality-quantile curriculum assignment: bucket every document by
+    which corpus-wide quality quartile it falls in (bucket 1 = lowest
+    ... len(probs)+1 = highest) — the ordering key for curriculum
+    training schedules and the quantile gate for "keep the top-X%"
+    curation, computed WITHOUT a global sort.
+
+    ntile() — the obvious formulation — is a window over the whole
+    corpus: one global Sort + a single-partition Exchange, the
+    canonical 100 TB anti-pattern.  Instead: one exact-percentile
+    aggregate reduces the corpus to len(probs) threshold doubles
+    (quality is rounded to 4 decimals, so the aggregate state is a
+    count-map over <= ~10^4 distinct keys — bounded regardless of row
+    count), the 1-row threshold frame is broadcast, and the bucket
+    label is a map-only CASE chain.  Total cost: one scan, one
+    scalar-sized reduce, zero data shuffles.
+
+    Returns (doc_id, quality, bucket), one row per document."""
+    from widiff_spark.textops import _quality_exprs
+    *_rest, score = _quality_exprs()
+    q = docs.select("doc_id", score.alias("quality"))
+    pcts = ", ".join(str(p) for p in probs)
+    th = q.agg(*[
+        F.round(F.expr(f"percentile(quality, array({pcts}))")[i], 4)
+        .alias(f"_t{i}") for i in range(len(probs))])
+    bucket = F.lit(len(probs) + 1)
+    for i in range(len(probs) - 1, -1, -1):
+        bucket = F.when(F.col("quality") <= F.col(f"_t{i}"),
+                        F.lit(i + 1)).otherwise(bucket)
+    return (q.crossJoin(F.broadcast(th))
+            .select("doc_id", "quality", bucket.cast("int").alias("bucket")))

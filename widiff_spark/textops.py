@@ -39,9 +39,13 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic document quality: length band + punctuation ratio +
-    stopword ratio + mean word length (rounded for cross-engine stability)."""
+def _quality_exprs():
+    """The per-document quality signal expressions (pure column algebra,
+    map-only) — shared by quality_score and the aggregating consumers
+    (source_stats, sampling.curriculum_buckets) so they can compute the
+    score inline in their own single scan instead of joining the
+    quality frame back on doc_id (an avoidable full-corpus shuffle).
+    Returns (n_tokens, punct_ratio, stop_ratio, mean_word_len, score)."""
     toks = _tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_chars = F.length("text")
@@ -56,6 +60,14 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.when((n_tokens >= 5) & (n_tokens <= 1000), 0.4).otherwise(0.0)
         + F.when(punct_ratio < 0.1, 0.3).otherwise(0.0)
         + F.least(stop_ratio * 2, F.lit(0.3)), 4)
+    return n_tokens, punct_ratio, stop_ratio, mean_word_len, score
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: length band + punctuation ratio +
+    stopword ratio + mean word length (rounded for cross-engine stability)."""
+    (n_tokens, punct_ratio, stop_ratio, mean_word_len,
+     score) = _quality_exprs()
     return docs.select("doc_id", n_tokens.alias("n_tokens"),
                        punct_ratio.alias("punct_ratio"),
                        stop_ratio.alias("stopword_ratio"),
@@ -486,3 +498,39 @@ def corpus_filter(docs: DataFrame, min_tokens: int = 15,
         "lang_pred", "dup_bigram_frac", "type_token_ratio",
         "stopword_ratio", (reason == "kept").alias("keep"),
         reason.alias("reason"))
+
+
+def source_stats(docs: DataFrame) -> DataFrame:
+    """Per-source curation rollup — the domain-level view web pipelines
+    filter on (C4 blocklists domains; RefinedWeb and Dolma score and
+    cap them): document count, token volume, mean quality, language
+    spread, and the within-source exact-duplicate count (docs minus
+    distinct normalized fingerprints).
+
+    Returns (source, n_docs, total_tokens, mean_quality, n_langs,
+    dup_docs), one row per source.
+
+    Scale shape: one map-only pass computes per-doc signals (token
+    count, 4-dec quality, md5 fingerprint — all JVM column algebra),
+    then ONE hash aggregate keyed by source with map-side partial
+    aggregation; count_distinct(fingerprint) expands to a two-phase
+    partial-distinct aggregate, never a per-source row collect.  The
+    source key is domain-cardinality (millions at web scale, each
+    group a hot COUNT), so no skew salting is needed — a viral domain
+    is a big count, not a big shuffle partition of raw text.  Quality
+    is computed inline via the shared _quality_exprs (NOT a join back
+    on doc_id), so the whole operator is scan -> project -> one
+    aggregate."""
+    *_rest, score = _quality_exprs()
+    base = docs.select("source", "lang",
+                       F.size(_tokens(F.col("text"))).alias("_nt"),
+                       F.md5(_norm()).alias("_fp"),
+                       score.alias("quality"))
+    return (base
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("_nt").cast("long").alias("total_tokens"),
+                 F.round(F.avg("quality"), 4).alias("mean_quality"),
+                 F.count_distinct("lang").cast("long").alias("n_langs"),
+                 (F.count("*") - F.count_distinct("_fp")).cast("long")
+                 .alias("dup_docs")))
