@@ -199,8 +199,13 @@ def curriculum_buckets(docs: DataFrame,
     label is a map-only CASE chain.  Total cost: one scan, one
     scalar-sized reduce, zero data shuffles.
 
-    Returns (doc_id, quality, bucket), one row per document."""
+    Returns (doc_id, quality, bucket), one row per document.  The doc
+    scan is spread-guarded (weight 1) — it is tokenized twice (once
+    into the percentile aggregate, once for the output projection), so
+    a one-file corpus would otherwise run both passes serially."""
+    from widiff_spark.spread import spread_small_scan
     from widiff_spark.textops import _quality_exprs
+    docs = spread_small_scan(docs)
     *_rest, score = _quality_exprs()
     q = docs.select("doc_id", score.alias("quality"))
     pcts = ", ".join(str(p) for p in probs)

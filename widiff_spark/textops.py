@@ -520,7 +520,10 @@ def source_stats(docs: DataFrame) -> DataFrame:
     is a big count, not a big shuffle partition of raw text.  Quality
     is computed inline via the shared _quality_exprs (NOT a join back
     on doc_id), so the whole operator is scan -> project -> one
-    aggregate."""
+    aggregate.  The scan is spread-guarded (weight 1): a one-file
+    corpus would otherwise tokenize serially at any core count — the
+    curate/linking scaling root cause."""
+    docs = spread_small_scan(docs)
     *_rest, score = _quality_exprs()
     base = docs.select("source", "lang",
                        F.size(_tokens(F.col("text"))).alias("_nt"),
