@@ -79,7 +79,20 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
     """All (property_id, src, dst) pairs reachable via >= 1 edge of one
     relation: distributed semi-naive fixpoint (caps at ``max_rounds`` like
     the reference caps at 10 iterations; every synthetic graph here
-    converges far earlier — convergence is checked, not assumed)."""
+    converges far earlier — convergence is checked, not assumed).
+
+    Each round materializes ONLY its delta (``localCheckpoint``); the
+    running closure is the lazy union of the per-round deltas, which are
+    pairwise disjoint by construction (every delta is anti-joined against
+    the union of all earlier ones).  The pre-round-7 loop additionally
+    re-checkpointed the FULL closure every round — O(depth x |closure|)
+    materialization that adds no information (at the round-7 gate's toy
+    size its removal was wall-neutral because the per-round anti-join
+    shuffle dominates, but the wasted write volume grows with |closure|;
+    BENCH/BASELINE.md round-7 closure-gate section has the Amdahl
+    attribution).  The union-of-checkpoints plan stays flat: depth leaf
+    scans, no lineage growth.
+    """
     keys = ["property_id", "src", "dst"]
     edges = edges.select(*keys).distinct().localCheckpoint()
     # renamed projection of the edge table for the round join — fresh
@@ -87,6 +100,8 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
     hop = edges.select(F.col("property_id").alias("_pid"),
                        F.col("src").alias("_hop_src"),
                        F.col("dst").alias("_hop_dst"))
+    # closure = lazy union of the per-round checkpointed deltas (disjoint
+    # by construction), so the plan is a flat stack of materialized leaves
     closure = edges
     delta = edges
     converged = False
@@ -97,11 +112,17 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 32) -> DataFrame:
                  .select("property_id", "src",
                          F.col("_hop_dst").alias("dst"))
                  .distinct())
+        # distinct BEFORE the anti-join, deliberately: both hash on the
+        # same three keys (one exchange either way, plan-verified), but
+        # the distinct's partial aggregate pre-shuffles map-side — the
+        # anti-then-distinct variant measured 40% SLOWER at the 8-core
+        # gate level (63.8 -> ~89 s, reproduced; BENCH/BASELINE.md
+        # round-7 closure gate) and was reverted
         delta = grown.join(closure, keys, "left_anti").localCheckpoint()
         if delta.isEmpty():
             converged = True
             break
-        closure = closure.unionByName(delta).localCheckpoint()
+        closure = closure.unionByName(delta)
     if not converged:
         # a silent cap would truncate deep P279/P131 chains undetectably at
         # full scale — fail loudly and let the caller raise the cap
