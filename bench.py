@@ -278,6 +278,13 @@ def main() -> None:
             docs_tbl).count(),
         "sample_curriculum": lambda: sampling.curriculum_buckets(
             docs_tbl).count(),
+        "dedup_incremental": lambda: dedup.incremental_new_docs(
+            docs_tbl, docs_tbl.withColumn(
+                "text", F.when(F.col("doc_id") % 3 == 0,
+                               F.concat("text", F.lit(" rev2")))
+                .otherwise(F.col("text")))).count(),
+        "text_chunk_windows": lambda: textops.chunk_windows(
+            docs_tbl).count(),
     }
     cov_names = sorted(coverage)
     day = int(time.time()) // 86400

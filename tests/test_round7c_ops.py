@@ -1,0 +1,148 @@
+"""Round-7 third batch: as-of join, incremental snapshot dedup,
+token-window chunking."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from widiff_spark import dedup, relops, textops
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+class TestAsofJoin:
+    def events(self, spark):
+        # user 1: click@10 (v=2.0), click@20 (v=5.0); probes at 5/10/15/25
+        # user 2: no clicks at all
+        rows = [
+            (100, _ts(5), 1, "view", 0.0),
+            (101, _ts(10), 1, "view", 0.0),    # equal-ts: inclusive
+            (102, _ts(15), 1, "error", 0.0),
+            (103, _ts(25), 1, "view", 0.0),
+            (200, _ts(7), 2, "view", 0.0),
+            (900, _ts(10), 1, "click", 2.0),
+            (901, _ts(20), 1, "click", 5.0),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double")
+
+    def run(self, spark, sf_dir=None):
+        ev = self.events(spark)
+        import widiff_spark.relops as R
+        orig = R._t
+        R._t = lambda s, d, n: ev
+        try:
+            return {r.event_id: r for r in
+                    R.q_asof_join(spark, "unused").collect()}
+        finally:
+            R._t = orig
+
+    def test_carry_forward_and_inclusive_equal_ts(self, spark):
+        rows = self.run(spark)
+        assert rows[100].asof_value is None          # before any click
+        assert rows[101].asof_value == 2.0           # ts == click ts
+        assert rows[102].asof_value == 2.0           # between clicks
+        assert rows[103].asof_value == 5.0           # after second click
+        assert rows[200].asof_value is None          # user without clicks
+
+    def test_clicks_never_probe(self, spark):
+        rows = self.run(spark)
+        assert 900 not in rows and 901 not in rows
+
+    def test_no_cartesian_one_key_exchange(self, spark):
+        ev = self.events(spark)
+        import widiff_spark.relops as R
+        orig = R._t
+        R._t = lambda s, d, n: ev
+        try:
+            plan = (R.q_asof_join(spark, "unused")
+                    ._jdf.queryExecution().executedPlan().toString())
+        finally:
+            R._t = orig
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestIncrementalNewDocs:
+    def test_drops_known_keeps_new(self, spark):
+        snapshot = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon")],
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(10, "alpha beta gamma"),       # verbatim recrawl -> drop
+             (11, "  ALPHA   beta GAMMA "),  # normalized match -> drop
+             (12, "zeta eta theta")],        # genuinely new -> keep
+            "doc_id long, text string")
+        kept = sorted(r.doc_id for r in
+                      dedup.incremental_new_docs(snapshot, batch).collect())
+        assert kept == [12]
+
+    def test_snapshot_untouched_columns_pass_through(self, spark):
+        snapshot = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(2, "c d", "web")], "doc_id long, text string, source string")
+        rows = dedup.incremental_new_docs(snapshot, batch).collect()
+        assert [(r.doc_id, r.source) for r in rows] == [(2, "web")]
+
+    def test_equi_anti_join_no_cartesian(self, spark):
+        snapshot = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(2, "c d")], "doc_id long, text string")
+        plan = (dedup.incremental_new_docs(snapshot, batch)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "LeftAnti" in plan
+
+
+class TestChunkWindows:
+    def test_hand_computed_grid(self, spark):
+        toks = [f"t{i}" for i in range(10)]
+        docs = spark.createDataFrame(
+            [(1, " ".join(toks))], "doc_id long, text string")
+        rows = sorted(
+            textops.chunk_windows(docs, width=4, stride=3).collect(),
+            key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+        assert rows[0].chunk == "t0 t1 t2 t3"
+        assert rows[1].chunk == "t3 t4 t5 t6"     # overlap of 1
+        assert rows[2].chunk == "t6 t7 t8 t9"
+        assert rows[3].chunk == "t9"              # short tail, unpadded
+        assert [r.n_tokens for r in rows] == [4, 4, 4, 1]
+
+    def test_empty_doc_yields_one_empty_chunk(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "   ")], "doc_id long, text string")
+        rows = textops.chunk_windows(docs, width=4, stride=3).collect()
+        assert len(rows) == 1
+        assert rows[0].chunk_id == 0 and rows[0].chunk == ""
+
+    def test_exact_multiple_has_no_phantom_chunk(self, spark):
+        # 6 tokens, stride 3: starts 0 and 3 only (not 6)
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string")
+        rows = textops.chunk_windows(docs, width=3, stride=3).collect()
+        assert sorted(r.chunk_id for r in rows) == [0, 1]
+
+    def test_map_only_zero_shuffle(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string")
+        plan = (textops.chunk_windows(docs)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+
+    def test_rejects_nonpositive_params(self, spark):
+        import pytest
+        docs = spark.createDataFrame(
+            [(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            textops.chunk_windows(docs, width=0)
+        with pytest.raises(ValueError):
+            textops.chunk_windows(docs, stride=0)

@@ -463,3 +463,30 @@ def canonical_corpus(docs: DataFrame, min_jaccard: float = 0.5,
     return (scored.join(winners, "component_id")
             .select("doc_id", "component_id", "component_size", "quality",
                     (F.col("doc_id") == F.col("_kept")).alias("is_kept")))
+
+
+def incremental_new_docs(snapshot: DataFrame, batch: DataFrame) -> DataFrame:
+    """Cross-snapshot (incremental) exact dedup: the rows of ``batch``
+    whose normalized text is absent from ``snapshot`` — the per-crawl
+    update step of a standing corpus (drop re-crawls of documents the
+    corpus already holds, keep genuinely new or changed ones).  The
+    reference has no incremental path (it reprocesses dumps whole);
+    this is the operator a 100 TB standing corpus needs instead.
+
+    Scale shape: both sides project to a 64-bit ``xxhash64`` of the
+    normalized text BEFORE the anti-join, so the wide exchange carries
+    8-byte keys (plus the batch row's own columns), never two copies of
+    the document bodies; the snapshot side is hash-aggregated distinct
+    first, so a snapshot holding the same text N times shuffles one
+    key.  Hash-identity contract is the industry-standard exact-dedup
+    one (collision odds 2^-64 per pair); the DuckDB oracle re-derives
+    the answer from the normalized TEXT itself, so any collision would
+    surface as a driver value-hash mismatch rather than hide.
+    """
+    sh = (snapshot
+          .select(F.xxhash64(_norm_text(F.col("text"))).alias("_h"))
+          .distinct())
+    return (batch
+            .withColumn("_h", F.xxhash64(_norm_text(F.col("text"))))
+            .join(sh, "_h", "left_anti")
+            .drop("_h"))

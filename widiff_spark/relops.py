@@ -283,6 +283,47 @@ def q_levenshtein(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join — the temporal operator Spark's DataFrame API lacks:
+    attach to every non-click event the value of that user's most
+    recent click at-or-before the event's timestamp (NULL when none).
+
+    Spark-first shape: the union + ordered carry-forward formulation —
+    tag probe/build rows, one window per user ordered by (ts, tag) with
+    ``last(value, ignorenulls)`` — ONE hash exchange on the join key
+    and a per-key sort, independent of time-range width.  The naive
+    range-join formulation (probe x build on key + ts-inequality, then
+    max per probe) explodes with history length; this one's cost is
+    |probe| + |build| regardless.  Build ties at identical ts collapse
+    via max(value) first, so the result is deterministic; at equal
+    (ts), build sorts before probe (tag 0 < 1) giving inclusive >=
+    semantics — exactly DuckDB's ASOF JOIN, which the oracle uses
+    natively."""
+    ev = _t(spark, sf_dir, "events")
+    build = (ev.filter(F.col("event_type") == "click")
+             .groupBy("user_id", "ts")
+             .agg(F.round(F.max("value"), 2).alias("_click")))
+    probe = (ev.filter(F.col("event_type") != "click")
+             .select("event_id", "user_id", "event_type", "ts"))
+    unioned = (probe
+               .withColumn("_tag", F.lit(1))
+               .withColumn("_click", F.lit(None).cast("double"))
+               .unionByName(build.select(
+                   F.lit(None).cast("long").alias("event_id"),
+                   "user_id",
+                   F.lit(None).cast("string").alias("event_type"),
+                   "ts",
+                   F.lit(0).alias("_tag"),
+                   "_click")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "_tag")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (unioned
+            .withColumn("asof_value", F.last("_click", ignorenulls=True).over(w))
+            .filter(F.col("_tag") == 1)
+            .select("event_id", "user_id", "event_type", "asof_value")
+            .orderBy("event_id"))
+
+
 # --------------------------------------------------------------------------- #
 # DuckDB oracles — one per query above, ANSI-flavored
 # --------------------------------------------------------------------------- #
@@ -441,6 +482,20 @@ ORACLE_SQL: dict[str, str] = {
                                 substring(text, 21, 20)) AS INT) AS lev
         FROM documents ORDER BY doc_id
     """,
+    "rel_asof_join": """
+        WITH build AS (
+          SELECT user_id, ts AS bts, round(max(value), 2) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        ), probe AS (
+          SELECT event_id, user_id, event_type, ts
+          FROM events WHERE event_type <> 'click'
+        )
+        SELECT p.event_id, p.user_id, p.event_type,
+               b.click_value AS asof_value
+        FROM probe p ASOF LEFT JOIN build b
+          ON p.user_id = b.user_id AND p.ts >= b.bts
+        ORDER BY p.event_id
+    """,
 }
 
 QUERIES = {
@@ -463,4 +518,5 @@ QUERIES = {
     "rel_user_type": q_user_type,
     "rel_time_buckets": q_time_buckets,
     "rel_levenshtein": q_levenshtein,
+    "rel_asof_join": q_asof_join,
 }

@@ -537,3 +537,40 @@ def source_stats(docs: DataFrame) -> DataFrame:
                  F.count_distinct("lang").cast("long").alias("n_langs"),
                  (F.count("*") - F.count_distinct("_fp")).cast("long")
                  .alias("dup_docs")))
+
+
+def chunk_windows(docs: DataFrame, width: int = 64,
+                  stride: int = 48) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the converse of
+    ``pack_documents``: split each document into training-sequence
+    chunks of ``width`` whitespace tokens every ``stride`` tokens
+    (overlap = width - stride), the standard pre-tokenization step for
+    context-window-bounded training and for embedding long documents.
+
+    One row per (doc, window start): (doc_id, chunk_id, chunk,
+    n_tokens); the final chunk is short (n_tokens < width) rather than
+    padded, and an empty/whitespace document yields one empty chunk
+    (chunk_id 0) so no document silently vanishes.
+
+    Scale shape: map-only — tokenize, build the per-document chunk
+    structs inside ``transform`` over the start sequence, explode.
+    Zero shuffle at ANY corpus size (plan-asserted exchange-free); each
+    exploded row carries only its own <= width tokens, never the whole
+    document, so memory per row is bounded by the chunk, and the
+    overlap factor bounds output volume at width/stride x input.
+    """
+    if stride <= 0 or width <= 0:
+        raise ValueError("width and stride must be positive")
+    toks = _tokens(F.col("text"))
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / F.lit(stride)).cast("long").alias("chunk_id"),
+            F.slice(toks, s + 1, width).alias("toks")))
+    return (docs
+            .select("doc_id", F.explode(chunks).alias("_c"))
+            .select("doc_id",
+                    F.col("_c.chunk_id").alias("chunk_id"),
+                    F.array_join("_c.toks", " ").alias("chunk"),
+                    F.size("_c.toks").alias("n_tokens")))
