@@ -285,6 +285,8 @@ def main() -> None:
                 .otherwise(F.col("text")))).count(),
         "text_chunk_windows": lambda: textops.chunk_windows(
             docs_tbl).count(),
+        "sample_domain_cap": lambda: sampling.domain_cap(
+            docs_tbl, cap=1000).count(),
     }
     cov_names = sorted(coverage)
     day = int(time.time()) // 86400

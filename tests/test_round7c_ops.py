@@ -1,5 +1,5 @@
 """Round-7 third batch: as-of join, incremental snapshot dedup,
-token-window chunking."""
+token-window chunking, per-source domain cap."""
 
 from __future__ import annotations
 
@@ -146,3 +146,54 @@ class TestChunkWindows:
             textops.chunk_windows(docs, width=0)
         with pytest.raises(ValueError):
             textops.chunk_windows(docs, stride=0)
+
+
+class TestDomainCap:
+    def docs(self, spark):
+        # quality is driven by token count band / punctuation / stopwords;
+        # vary text so sources have mixed-quality members plus exact ties
+        import random
+        rng = random.Random(7)
+        rows = []
+        for i in range(60):
+            src = f"s{i % 3}"
+            words = ["the", "a", "of", "xx!!", "zzz"][: 1 + i % 5]
+            text = " ".join(rng.choices(words, k=3 + i % 9))
+            rows.append((i, text, src))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+
+    def window_oracle(self, spark, docs, cap):
+        from widiff_spark.textops import _quality_exprs
+        *_r, score = _quality_exprs()
+        from pyspark.sql import Window
+        q = docs.select("doc_id", "source", score.alias("quality"))
+        w = Window.partitionBy("source").orderBy(
+            F.desc("quality"), F.asc("doc_id"))
+        return (q.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= cap)
+                .select("doc_id", "source", "quality"))
+
+    def test_matches_window_formulation_exactly(self, spark):
+        from widiff_spark import sampling
+        docs = self.docs(spark)
+        for cap in (1, 7, 19, 25):
+            got = sorted((r.doc_id, r.source) for r in
+                         sampling.domain_cap(docs, cap=cap).collect())
+            want = sorted((r.doc_id, r.source) for r in
+                          self.window_oracle(spark, docs, cap).collect())
+            assert got == want, f"cap={cap}"
+
+    def test_under_cap_source_keeps_everything(self, spark):
+        from widiff_spark import sampling
+        docs = spark.createDataFrame(
+            [(1, "a few words here", "tiny"),
+             (2, "more words again now", "tiny")],
+            "doc_id long, text string, source string")
+        assert sampling.domain_cap(docs, cap=10).count() == 2
+
+    def test_cap_counts_per_source(self, spark):
+        from widiff_spark import sampling
+        out = sampling.domain_cap(self.docs(spark), cap=5)
+        per = out.groupBy("source").count().collect()
+        assert all(r["count"] == 5 for r in per)

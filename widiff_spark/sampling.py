@@ -218,3 +218,59 @@ def curriculum_buckets(docs: DataFrame,
                         F.lit(i + 1)).otherwise(bucket)
     return (q.crossJoin(F.broadcast(th))
             .select("doc_id", "quality", bucket.cast("int").alias("bucket")))
+
+
+def domain_cap(docs: DataFrame, cap: int = 200) -> DataFrame:
+    """Per-source document cap: keep at most ``cap`` documents per
+    source, preferring the highest quality (ties -> lowest doc_id) —
+    the domain-cap step of RefinedWeb / Dolma-style curation (one spam
+    domain must not dominate a corpus).
+
+    Exactly equivalent to ``row_number() OVER (PARTITION BY source
+    ORDER BY quality DESC, doc_id) <= cap``, but WITHOUT the per-domain
+    global sort that window formulation costs (the hottest domain's
+    whole row set through one task).  Scale shape:
+
+    1. per-(source, quality) histogram — the quality score is 4-dec
+       rounded, so the histogram is bounded state (one hash aggregate);
+    2. one descending `aggregate` scan over each source's histogram
+       array finds the threshold quality and how many tie rows to keep
+       at it — the per-source array is bounded by the score grid, never
+       by document count;
+    3. thresholds broadcast back: rows strictly above keep (map-only);
+       rows AT the threshold get the only ordered step — a row_number
+       over the tie rows alone (one quality level of one source), never
+       the domain's full row set.
+    """
+    from widiff_spark.textops import _quality_exprs
+    *_rest, score = _quality_exprs()
+    q = docs.select("doc_id", "source", score.alias("quality"))
+    hist = q.groupBy("source", "quality").agg(F.count("*").alias("n"))
+    arr = (hist.groupBy("source")
+           .agg(F.sort_array(F.collect_list(F.struct("quality", "n")),
+                             asc=False).alias("_h")))
+    acc0 = F.struct(F.lit(0).cast("long").alias("cum"),
+                    F.lit(None).cast("double").alias("thr"),
+                    F.lit(0).cast("long").alias("keep_at"))
+
+    def _step(a, x):
+        crosses = a["thr"].isNull() & ((a["cum"] + x["n"]) >= F.lit(cap))
+        return F.struct(
+            (a["cum"] + x["n"]).alias("cum"),
+            F.when(crosses, x["quality"]).otherwise(a["thr"]).alias("thr"),
+            F.when(crosses, F.lit(cap) - a["cum"])
+             .otherwise(a["keep_at"]).alias("keep_at"))
+
+    dims = (arr.select("source", F.aggregate("_h", acc0, _step).alias("_s"))
+            .select("source", F.col("_s.thr").alias("_thr"),
+                    F.col("_s.keep_at").alias("_keep_at")))
+    joined = q.join(F.broadcast(dims), "source")
+    clear = joined.filter(F.col("_thr").isNull()
+                          | (F.col("quality") > F.col("_thr")))
+    ties = joined.filter(F.col("_thr").isNotNull()
+                         & (F.col("quality") == F.col("_thr")))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    tie_keep = (ties.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= F.col("_keep_at")))
+    return (clear.select("doc_id", "source", "quality")
+            .unionByName(tie_keep.select("doc_id", "source", "quality")))
