@@ -184,6 +184,36 @@ def main() -> None:
          "cascade once per reference (stage attribution in "
          "BENCH/BASELINE.md).  The resampling tail itself is a broadcast "
          "weights join + map-only hash-threshold filter."),
+        ("as-of join (relops.q_asof_join)",
+         __import__("widiff_spark.relops", fromlist=["x"]).q_asof_join(
+             spark, sf),
+         "Union + ordered carry-forward: ONE hash exchange on the join "
+         "key feeds the per-key (ts, tag) window — no range join, no "
+         "CartesianProduct, cost |probe|+|build| regardless of "
+         "time-range width."),
+        ("incremental snapshot dedup (dedup.incremental_new_docs)",
+         dedup.incremental_new_docs(
+             docs_tbl, docs_tbl.selectExpr(
+                 "doc_id + 1000000 AS doc_id", "text || ' rev2' AS text")),
+         "Both sides reduce to 64-bit xxhash64 keys BEFORE the LeftAnti "
+         "equi-join (snapshot side distinct-aggregated first) — the wide "
+         "exchange carries hashes plus the batch row, never two copies "
+         "of document bodies."),
+        ("token-window chunking (textops.chunk_windows)",
+         __import__("widiff_spark.textops",
+                    fromlist=["x"]).chunk_windows(docs_tbl),
+         "Map-only at any corpus size: tokenize -> per-doc chunk structs "
+         "built inside transform() -> explode.  ZERO exchanges in this "
+         "plan (also pinned by tests/test_round7c_ops.py); each exploded "
+         "row carries only its own <= width tokens."),
+        ("per-source domain cap (sampling.domain_cap)",
+         __import__("widiff_spark.sampling",
+                    fromlist=["x"]).domain_cap(docs_tbl, cap=15),
+         "Bounded-state (source, 4-dec-quality) histogram aggregate -> "
+         "per-source descending aggregate scan for threshold + tie "
+         "allowance -> BroadcastHashJoin of the tiny threshold dim -> "
+         "map-only keep filter; the only window runs over the tie rows "
+         "at the threshold level, never a domain's full row set."),
     ]
 
     out = ["# PLANS.md — physical plans of the headline operators",
