@@ -287,6 +287,8 @@ def main() -> None:
             docs_tbl).count(),
         "sample_domain_cap": lambda: sampling.domain_cap(
             docs_tbl, cap=1000).count(),
+        "text_ppl_buckets": lambda: textops.perplexity_buckets(
+            docs_tbl).count(),
     }
     cov_names = sorted(coverage)
     day = int(time.time()) // 86400

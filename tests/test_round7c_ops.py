@@ -197,3 +197,38 @@ class TestDomainCap:
         out = sampling.domain_cap(self.docs(spark), cap=5)
         per = out.groupBy("source").count().collect()
         assert all(r["count"] == 5 for r in per)
+
+
+class TestPerplexityBuckets:
+    def docs(self, spark):
+        # repetitive common-bigram docs are fluent (head); unique-word
+        # salad scores worst (tail)
+        rows = []
+        for i in range(9):
+            if i < 3:
+                text = "the cat sat on the mat " * 4
+            elif i < 6:
+                text = ("the cat sat on the mat " * 2
+                        + f"q{i}a q{i}b q{i}c")
+            else:
+                text = " ".join(f"u{i}y{j}" for j in range(8))
+            rows.append((i, text.strip()))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_thirds_are_ordered_by_logprob(self, spark):
+        out = textops.perplexity_buckets(self.docs(spark)).collect()
+        assert len(out) == 9
+        by = {}
+        for r in out:
+            by.setdefault(r.ppl_bucket, []).append(r.mean_logprob)
+        assert set(by) == {"head", "middle", "tail"}
+        assert max(by["tail"]) <= min(by["middle"])
+        assert max(by["middle"]) <= min(by["head"])
+        # the repetitive fluent docs land in the head
+        heads = {r.doc_id for r in out if r.ppl_bucket == "head"}
+        assert heads == {0, 1, 2}
+
+    def test_requires_two_cutpoints(self, spark):
+        import pytest
+        with pytest.raises(ValueError):
+            textops.perplexity_buckets(self.docs(spark), probs=(0.5,))

@@ -574,3 +574,34 @@ def chunk_windows(docs: DataFrame, width: int = 64,
                     F.col("_c.chunk_id").alias("chunk_id"),
                     F.array_join("_c.toks", " ").alias("chunk"),
                     F.size("_c.toks").alias("n_tokens")))
+
+
+def perplexity_buckets(docs: DataFrame,
+                       probs: tuple = (0.3333, 0.6667)) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): label every
+    document head / middle / tail by which corpus-wide fluency third it
+    falls in under the corpus's own Stupid-Backoff bigram LM
+    (``bigram_logprob``) — the signature CCNet curation step (keep the
+    head, inspect the middle, drop the tail).
+
+    Perplexity is monotone in -mean_logprob, so bucketing on
+    ``mean_logprob`` directly avoids the exponentiation: tail = lowest
+    mean log-prob third (highest perplexity), head = highest.  Same
+    no-global-sort shape as ``sampling.curriculum_buckets``: the score
+    is 4-dec rounded so ONE exact-percentile aggregate has bounded
+    state, the 1-row threshold frame broadcasts, and the label is a
+    map-only CASE — the LM build (two wordcount aggregates) is the only
+    wide work.
+    """
+    if len(probs) != 2:
+        raise ValueError("probs must be the two head/tail cutpoints")
+    lp = bigram_logprob(docs).select("doc_id", "mean_logprob")
+    pcts = ", ".join(repr(float(p)) for p in probs)
+    th = lp.agg(*[
+        F.round(F.expr(f"percentile(mean_logprob, array({pcts}))")[i], 4)
+        .alias(f"_t{i}") for i in range(2)])
+    bucket = (F.when(F.col("mean_logprob") <= F.col("_t0"), F.lit("tail"))
+              .when(F.col("mean_logprob") <= F.col("_t1"), F.lit("middle"))
+              .otherwise(F.lit("head")))
+    return (lp.crossJoin(F.broadcast(th))
+            .select("doc_id", "mean_logprob", bucket.alias("ppl_bucket")))
