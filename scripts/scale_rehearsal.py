@@ -231,6 +231,24 @@ def main() -> None:
                   lambda: textops.dsir_logratio(
                       docs_tbl, docs_tbl.filter("lang = 'en'")).count(),
                   results)
+
+            # round-7 additions: the new documents-table operators, so
+            # their scale claims are measured, not only plan-asserted
+            from widiff_spark import sampling
+            timed("text_chunk_windows",
+                  lambda: textops.chunk_windows(docs_tbl).count(), results)
+            timed("sample_domain_cap",
+                  lambda: sampling.domain_cap(docs_tbl,
+                                              cap=1000).count(), results)
+            timed("text_ppl_buckets",
+                  lambda: textops.perplexity_buckets(docs_tbl).count(),
+                  results)
+            timed("dedup_incremental",
+                  lambda: dedup.incremental_new_docs(
+                      docs_tbl,
+                      docs_tbl.selectExpr(
+                          "doc_id + 10000000 AS doc_id",
+                          "text || ' rev2' AS text")).count(), results)
             spark.catalog.clearCache()
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

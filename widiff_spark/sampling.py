@@ -242,7 +242,12 @@ def domain_cap(docs: DataFrame, cap: int = 200) -> DataFrame:
        over the tie rows alone (one quality level of one source), never
        the domain's full row set.
     """
+    from widiff_spark.spread import spread_small_scan
     from widiff_spark.textops import _quality_exprs
+    # the quality projection tokenizes the corpus twice (histogram pass +
+    # keep-filter pass): a small-file scan would run both near-serially
+    # (round-7 10x rehearsal: 36 s for a 2-split 50k-doc scan)
+    docs = spread_small_scan(docs, weight=2.0)
     *_rest, score = _quality_exprs()
     q = docs.select("doc_id", "source", score.alias("quality"))
     hist = q.groupBy("source", "quality").agg(F.count("*").alias("n"))

@@ -561,6 +561,11 @@ def chunk_windows(docs: DataFrame, width: int = 64,
     """
     if stride <= 0 or width <= 0:
         raise ValueError("width and stride must be positive")
+    # parquet text compresses ~10x and scans split by BYTES: a small-file
+    # corpus would tokenize+explode near-serially at any core count (the
+    # round-7 10x rehearsal measured 19 s for a 2-split 50k-doc scan);
+    # the probe is identity for wide scans and tiny corpora
+    docs = spread_small_scan(docs)
     toks = _tokens(F.col("text"))
     starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
     chunks = F.transform(
