@@ -202,10 +202,12 @@ def main() -> None:
         ("token-window chunking (textops.chunk_windows)",
          __import__("widiff_spark.textops",
                     fromlist=["x"]).chunk_windows(docs_tbl),
-         "Map-only at any corpus size: tokenize -> per-doc chunk structs "
-         "built inside transform() -> explode.  ZERO exchanges in this "
-         "plan (also pinned by tests/test_round7c_ops.py); each exploded "
-         "row carries only its own <= width tokens."),
+         "Map-only: tokenize -> per-doc chunk structs built inside "
+         "transform() -> explode.  The operator adds ZERO exchanges "
+         "(pinned by tests/test_round7c_ops.py on a pre-widened input); "
+         "any Exchange below is the scan-spread guard widening a "
+         "small-file scan (round-7 10x rehearsal: 19.1 -> 1.0 s).  Each "
+         "exploded row carries only its own <= width tokens."),
         ("per-source domain cap (sampling.domain_cap)",
          __import__("widiff_spark.sampling",
                     fromlist=["x"]).domain_cap(docs_tbl, cap=15),
@@ -213,7 +215,9 @@ def main() -> None:
          "per-source descending aggregate scan for threshold + tie "
          "allowance -> BroadcastHashJoin of the tiny threshold dim -> "
          "map-only keep filter; the only window runs over the tie rows "
-         "at the threshold level, never a domain's full row set."),
+         "at the threshold level, never a domain's full row set.  The "
+         "text scan is spread-guarded (weight 2: quality tokenizes the "
+         "corpus twice; 36.1 -> 4.1 s at the 10x rehearsal)."),
     ]
 
     out = ["# PLANS.md — physical plans of the headline operators",
