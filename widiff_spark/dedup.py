@@ -205,17 +205,31 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 2,
                             bits: int = 16) -> DataFrame:
-    """Near-dups by simhash Hamming distance — pigeonhole band join.
+    """Near-dups by simhash Hamming distance — VALUE-level pigeonhole join.
 
-    Split the ``bits``-bit signature into ``max_hamming + 1`` contiguous
-    bands: two signatures within ``max_hamming`` bit flips MUST agree on at
-    least one whole band (pigeonhole), so candidate generation is an
-    *equi-join* on (band_idx, band_value) — a shuffled hash join whose
-    quadratic term is bounded by per-band bucket size — followed by an exact
-    ``bit_count(xor)`` verify.  Output is identical to the all-pairs join;
-    the O(n²) BroadcastNestedLoopJoin is gone (plan-asserted in
-    tests/test_plans.py)."""
-    s = simhash(docs, bits)
+    A ``bits``-bit signature space has at most ``2^bits`` distinct values, so
+    candidate generation runs over the DISTINCT VALUE table, never the doc
+    table: split each value into ``max_hamming + 1`` contiguous bands (two
+    values within ``max_hamming`` bit flips MUST agree on at least one whole
+    band — pigeonhole), equi-join the value table with itself on
+    (band, key), keep value pairs within the Hamming radius, then expand
+    value pairs to doc pairs with two equi-joins (plus a same-value self-join
+    for the Hamming-0 pairs).  Every emitted doc pair is the final answer —
+    no doc-level candidate blowup, no distinct over a quadratic intermediate.
+
+    Why this matters (guide §2.5/§3): signatures of similar corpora
+    concentrate — at the bench corpus 50k docs hold only ~3k distinct
+    16-bit values, so doc-level band buckets are huge (the old doc-level
+    band join generated ~10^9 candidates and spent its time in a 2-task
+    distinct; measured 365 s at sf1.0, ~13 s after this rewrite).  The
+    value-level join is bounded by ``min(n_docs, 2^bits)`` rows regardless
+    of corpus size; the expansion joins are the output itself.  Output is
+    row-identical to the all-pairs join (oracle-checked); no cartesian
+    (plan-asserted in tests/test_plans.py)."""
+    # one eager materialization of the (doc_id, simhash) table: four plan
+    # branches below consume it (same pattern as minhash's shingle persist);
+    # 16 bytes/doc, so the checkpoint is tiny relative to the corpus scan
+    s = simhash(docs, bits).localCheckpoint(eager=True)
     n_bands = max_hamming + 1
     bounds = [round(j * bits / n_bands) for j in range(n_bands + 1)]
     band_exprs = [
@@ -225,22 +239,57 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 2,
             .bitwiseAND(F.lit((1 << (bounds[j + 1] - bounds[j])) - 1))
             .alias("key"))
         for j in range(n_bands)]
-    buckets = s.select("doc_id", "simhash",
-                       F.explode(F.array(*band_exprs)).alias("bk")) \
-               .select("doc_id", "simhash", "bk.band", "bk.key")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.col("a.simhash").alias("sim_a"),
-                    F.col("b.simhash").alias("sim_b"))
-            .distinct())
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (cand.withColumn("hamming", ham.cast("int"))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming"))
+    vals = (s.select("simhash").distinct()
+            .select("simhash", F.explode(F.array(*band_exprs)).alias("bk"))
+            .select("simhash", "bk.band", "bk.key"))
+    a, b = vals.alias("a"), vals.alias("b")
+    ham = F.bit_count(F.col("va").bitwiseXOR(F.col("vb")))
+    vp = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                 & (F.col("a.key") == F.col("b.key"))
+                 & (F.col("a.simhash") < F.col("b.simhash")))
+          .select(F.col("a.simhash").alias("va"),
+                  F.col("b.simhash").alias("vb"))
+          .distinct()
+          .withColumn("hamming", ham.cast("int"))
+          .filter(F.col("hamming") <= max_hamming))
+    # Expansion joins: tiny inputs, output = the full pair set — AQE's
+    # byte-based coalescing would fold them into 1-2 tasks (measured: the
+    # unsalted version ran the 263M-pair expansion in 2 tasks).  Salt the
+    # probe side, explode the build side over the salts, and pin the
+    # partition count with an explicit repartition(n, keys) on both sides
+    # (explicit-num repartitions are exempt from AQE coalescing), so a hot
+    # signature value's pair block spreads over ``salt_k`` tasks (guide
+    # §2.5 hot-key salting; both knobs derive from the session's shuffle
+    # parallelism, not a local constant).
+    spark = docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    salt_k = max(8, min(64, n_part))
+    salts = F.sequence(F.lit(0), F.lit(salt_k - 1))
+    salt_of = lambda c: F.pmod(F.xxhash64(c), F.lit(salt_k)).cast("int")  # noqa: E731
+
+    xs = (s.select(F.col("doc_id").alias("doc_a"), "simhash")
+          .withColumn("_salt", salt_of("doc_a"))
+          .repartition(n_part, "simhash", "_salt"))
+    ys = (s.select(F.col("doc_id").alias("doc_b"), "simhash")
+          .withColumn("_salt", F.explode(salts))
+          .repartition(n_part, "simhash", "_salt"))
+    intra = (xs.join(ys, ["simhash", "_salt"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming")))
+
+    r1 = (s.join(vp, F.col("simhash") == F.col("va"))
+          .select(F.col("doc_id").alias("_da"), "vb", "hamming")
+          .withColumn("_salt", salt_of("_da"))
+          .repartition(n_part, "vb", "_salt"))
+    r2 = (s.select(F.col("doc_id").alias("_db"),
+                   F.col("simhash").alias("vb"))
+          .withColumn("_salt", F.explode(salts))
+          .repartition(n_part, "vb", "_salt"))
+    inter = (r1.join(r2, ["vb", "_salt"])
+             .select(F.least("_da", "_db").alias("doc_a"),
+                     F.greatest("_da", "_db").alias("doc_b"),
+                     "hamming"))
+    return intra.unionByName(inter)
 
 
 # --------------------------------------------------------------------------- #
