@@ -812,39 +812,47 @@ def _hashable(value):
 # ---------------------------------------------------------------------------
 
 _DEFAULT_ROW = {c: None for c in _UNIFIED_COLUMNS}
+_ROW_TABLES = ["revision", "value_change", "qualifier_change",
+               "reference_change", "datatype_metadata_change"]
 
 
 def _emit_page(out_cols: dict, repo: str, result: dict) -> None:
-    """Append one page's rows into the bucket's columnar accumulators."""
+    """Append one page's rows into the bucket's columnar accumulators.
+
+    Columnar: every row of one table shares the same key set (the save_*
+    emitters build them from fixed literals), so each (table, column) pair
+    extends its accumulator with ONE list comprehension instead of a
+    per-row dict copy + full-width column loop (the old per-row ``emit``
+    was ~15% of the whole diff stage in profiling; output rows outnumber
+    revisions ~8x).  Emission order per page — revision, value_change,
+    qualifier, reference, metadata, stats — is unchanged."""
     entity_label = result["entity_label"]
 
-    def emit(table: str, row: dict, extra: dict | None = None):
-        u = dict(_DEFAULT_ROW)
-        u["table"] = table
-        u["repo"] = repo
-        u["entity_label"] = entity_label
-        for k, v in row.items():
-            if k != "_key" and k in u:
-                u[k] = v
-        if extra:
-            u.update(extra)
+    for table in _ROW_TABLES:
+        rows = result[table]
+        if not rows:
+            continue
+        n = len(rows)
+        keys = rows[0].keys()
         for c, acc in out_cols.items():
-            acc.append(u[c])
-
-    for row in result["revision"]:
-        emit("revision", row)
-    for row in result["value_change"]:
-        emit("value_change", row)
-    for row in result["qualifier_change"]:
-        emit("qualifier_change", row)
-    for row in result["reference_change"]:
-        emit("reference_change", row)
-    for row in result["datatype_metadata_change"]:
-        emit("datatype_metadata_change", row)
+            if c == "table":
+                acc.extend([table] * n)
+            elif c == "repo":
+                acc.extend([repo] * n)
+            elif c == "entity_label":
+                acc.extend([entity_label] * n)
+            elif c in keys:
+                acc.extend([r[c] for r in rows])
+            else:
+                acc.extend([None] * n)
 
     stats = dict(result["entity_stats"])
-    emit("entity_stats", {"entity_id": stats["entity_id"]},
-         {"payload": json.dumps(stats, ensure_ascii=False)})
+    u = dict(_DEFAULT_ROW)
+    u.update(table="entity_stats", repo=repo, entity_label=entity_label,
+             entity_id=stats["entity_id"],
+             payload=json.dumps(stats, ensure_ascii=False))
+    for c, acc in out_cols.items():
+        acc.append(u[c])
 
 
 def _prep_revisions(records: list[dict]) -> list[dict]:

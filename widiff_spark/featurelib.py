@@ -17,11 +17,32 @@ _SPECIAL = re.compile(r"[^a-zA-Z0-9]")
 _WS = ("\\n", "\r", "\n", "\t")
 
 
+def _trim_common(a: str, b: str) -> tuple[str, str]:
+    """Strip the common prefix and suffix before an edit-distance DP.
+
+    Safe for both the distance and this module's backtrace op counts: the
+    backtrace's FIRST branch is the equality diagonal, so matching
+    prefix/suffix characters contribute zero operations and the DP over the
+    trimmed middle is the same sub-table.  Real edits are local (labels /
+    descriptions / title prefixes change at one end), so this turns the
+    O(m*n) DP into O(changed_region^2) — the kg_features profiling hotspot."""
+    p = 0
+    lim = min(len(a), len(b))
+    while p < lim and a[p] == b[p]:
+        p += 1
+    s = 0
+    lim -= p
+    while s < lim and a[len(a) - 1 - s] == b[len(b) - 1 - s]:
+        s += 1
+    return a[p:len(a) - s], b[p:len(b) - s]
+
+
 def levenshtein(a: str, b: str) -> int:
     """Two-row DP edit distance (the reference uses python-Levenshtein;
     identical metric)."""
     if a == b:
         return 0
+    a, b = _trim_common(a, b)
     if not a:
         return len(b)
     if not b:
@@ -38,7 +59,10 @@ def levenshtein(a: str, b: str) -> int:
 
 def edit_operations(old: str, new: str) -> tuple[int, int, int]:
     """(insertions, deletions, substitutions) via DP backtrace
-    (feature_creation.py:246-287)."""
+    (feature_creation.py:246-287).  Common prefix/suffix contribute no
+    operations under the equality-first backtrace, so they are trimmed
+    before the quadratic DP (see _trim_common)."""
+    old, new = _trim_common(old, new)
     m, n = len(old), len(new)
     dp = [[0] * (n + 1) for _ in range(m + 1)]
     for i in range(m + 1):

@@ -172,39 +172,40 @@ def digest_revision(content: str, lang: str) -> tuple[dict | None, dict | None, 
 
 
 def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in PARSED_SCHEMA.fields]
     for pdf in batches:
-        rows = []
+        # columnar accumulation: one list per output column instead of one
+        # dict per row (the list-of-dicts -> DataFrame path re-walked every
+        # row twice; profiled ~15% of the parse stage)
+        out: dict[str, list] = {c: [] for c in cols}
+        ap = {c: out[c].append for c in cols}
         for repo, path, commit, lang, content in zip(
                 pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"],
                 pdf["content"]):
             meta, digest, error = digest_revision(content, lang)
             meta = meta or {}
-            rows.append({
-                "repo": repo,
-                "path": path,
-                "commit": commit,
-                "entity_id": C.id_to_int(path),
-                "revision_id": meta.get("revision_id"),
-                "parent_id": meta.get("parent_id"),
-                "timestamp": meta.get("timestamp"),
-                "username": meta.get("username") or "",
-                "user_id": str(meta.get("user_id") or ""),
-                "comment": meta.get("comment") or "",
-                "is_deleted": lang == "deleted",
-                "parse_ok": digest is not None,
-                # compact separators: the digest is an internal transport
-                # format (decoded in diff/salted, never hashed) — ~12% fewer
-                # bytes through the page shuffle
-                "snapshot": json.dumps(digest, ensure_ascii=False,
-                                       separators=(",", ":"))
-                            if digest is not None else None,
-                "error": error,
-            })
-        yield pd.DataFrame(
-            rows,
-            columns=[f.name for f in PARSED_SCHEMA.fields],
-        ).astype({"revision_id": "Int64", "parent_id": "Int64",
-                  "entity_id": "Int64"})
+            ap["repo"](repo)
+            ap["path"](path)
+            ap["commit"](commit)
+            ap["entity_id"](C.id_to_int(path))
+            ap["revision_id"](meta.get("revision_id"))
+            ap["parent_id"](meta.get("parent_id"))
+            ap["timestamp"](meta.get("timestamp"))
+            ap["username"](meta.get("username") or "")
+            ap["user_id"](str(meta.get("user_id") or ""))
+            ap["comment"](meta.get("comment") or "")
+            ap["is_deleted"](lang == "deleted")
+            ap["parse_ok"](digest is not None)
+            # compact separators: the digest is an internal transport
+            # format (decoded in diff/salted, never hashed) — ~12% fewer
+            # bytes through the page shuffle
+            ap["snapshot"](json.dumps(digest, ensure_ascii=False,
+                                      separators=(",", ":"))
+                           if digest is not None else None)
+            ap["error"](error)
+        yield pd.DataFrame(out, columns=cols).astype(
+            {"revision_id": "Int64", "parent_id": "Int64",
+             "entity_id": "Int64"})
 
 
 _NAMESPACE_RES = {"item": r"^Q\d+$", "property": r"^P\d+$"}
