@@ -202,6 +202,30 @@ class TestDomainCap:
         per = out.groupBy("source").count().collect()
         assert all(r["count"] == 5 for r in per)
 
+    def test_tie_path_is_salted_two_phase_min_k(self, spark):
+        """r7 verdict #1: a hot (source, threshold-quality) tie set must
+        never sort through ONE window task.  The tie resolution is a salted
+        two-phase min-k: phase 1 partitions by (source, _salt) — pinned in
+        the plan — and the result on a 100%-tied source (every doc the same
+        quality, tie set == the domain's full row set) still equals the
+        naive row_number formulation."""
+        from widiff_spark import sampling
+
+        # one source, identical text => one quality mass point, all ties
+        docs = spark.createDataFrame(
+            [(i, "the same boilerplate page text", "spam.example")
+             for i in range(500)],
+            "doc_id long, text string, source string")
+        out = sampling.domain_cap(docs, cap=25)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+        parts = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert any("_salt" in p for p in parts), plan
+        got = sorted(r.doc_id for r in out.collect())
+        want = sorted(r.doc_id for r in
+                      self.window_oracle(spark, docs, 25).collect())
+        assert got == want and len(got) == 25
+
 
 class TestPerplexityBuckets:
     def docs(self, spark):

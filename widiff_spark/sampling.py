@@ -238,9 +238,18 @@ def domain_cap(docs: DataFrame, cap: int = 200) -> DataFrame:
        at it — the per-source array is bounded by the score grid, never
        by document count;
     3. thresholds broadcast back: rows strictly above keep (map-only);
-       rows AT the threshold get the only ordered step — a row_number
-       over the tie rows alone (one quality level of one source), never
-       the domain's full row set.
+       rows AT the threshold resolve by a SALTED two-phase min-k (keep
+       the ``keep_at`` smallest doc_ids): phase 1 ranks within
+       (source, salt) — a hot tie set splits ``salt_k`` ways — and
+       keeps each salt's ``keep_at`` smallest; phase 2 ranks the
+       surviving <= salt_k * keep_at rows per source (bounded state,
+       keep_at <= cap) and keeps the global ``keep_at``.  The global
+       minimum set is contained in the per-salt minima, so the result
+       is identical to one row_number over the whole tie set — without
+       ever sorting a hot (source, threshold-quality) set in one task
+       (the r7 verdict's residual skew hazard: the quality grid has few
+       mass points, so a boilerplate spam domain concentrates millions
+       of rows at the single threshold level).
     """
     from widiff_spark.spread import spread_small_scan
     from widiff_spark.textops import _quality_exprs
@@ -274,8 +283,15 @@ def domain_cap(docs: DataFrame, cap: int = 200) -> DataFrame:
                           | (F.col("quality") > F.col("_thr")))
     ties = joined.filter(F.col("_thr").isNotNull()
                          & (F.col("quality") == F.col("_thr")))
-    w = Window.partitionBy("source").orderBy("doc_id")
-    tie_keep = (ties.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= F.col("_keep_at")))
+    sc = docs.sparkSession.sparkContext
+    salt_k = max(8, min(64, sc.defaultParallelism))
+    ties = ties.withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_k)).cast("int"))
+    w1 = Window.partitionBy("source", "_salt").orderBy("doc_id")
+    local_k = (ties.withColumn("_rn", F.row_number().over(w1))
+               .filter(F.col("_rn") <= F.col("_keep_at")))
+    w2 = Window.partitionBy("source").orderBy("doc_id")
+    tie_keep = (local_k.withColumn("_rn2", F.row_number().over(w2))
+                .filter(F.col("_rn2") <= F.col("_keep_at")))
     return (clear.select("doc_id", "source", "quality")
             .unionByName(tie_keep.select("doc_id", "source", "quality")))
