@@ -159,12 +159,16 @@ def tail_candidates(rest: DataFrame, tail_dict: DataFrame,
         keep = (tailb.groupBy("_bk").count()
                 .filter(F.col("count") <= max_block_df).select("_bk"))
         tailb = tailb.join(keep, "_bk", "left_semi")
+    # ``rest`` may be per-(doc, mention) (tests / candidate-volume probes)
+    # or mention-distinct (link_mentions' score-once path); carry doc_id
+    # only when the caller has it
+    id_cols = [c for c in ("doc_id",) if c in rest.columns]
     return (rest
-            .select("doc_id", "mention",
+            .select(*id_cols, "mention",
                     F.split(F.col("mention"), " ").alias("_mtoks"))
             .withColumn("_bk", F.explode(_bigrams("mention")))
             .join(tailb, "_bk")
-            .select("doc_id", "mention", "label", "qid_num",
+            .select(*id_cols, "mention", "label", "qid_num",
                     "_mtoks", "_ltoks"))
 
 
@@ -220,7 +224,16 @@ def link_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH,
 
     rest = mentions.join(F.broadcast(head),
                          mentions["mention"] == head["label"], "left_anti")
-    blocked = tail_candidates(rest, tail_dict, max_block_df)
+    # Score per DISTINCT mention, not per (doc, mention): the candidate
+    # label set, the Jaccard score and therefore the top-1 choice depend
+    # only on the mention text (blocking keys derive from the mention; the
+    # tail dictionary is doc-independent), so every doc sharing a surface
+    # form re-scored the identical candidates.  Dedup first, score once,
+    # fan the winning (qid, score) back to docs with one equi-join —
+    # candidates shrink by the mention-sharing factor before the Python
+    # scorer ever runs (guide §2.3: aggregate before you shuffle).
+    rest_m = rest.select("mention").distinct()
+    blocked = tail_candidates(rest_m, tail_dict, max_block_df)
     if scorer == "jvm":
         jac = F.round(
             F.size(F.array_intersect("_mtoks", "_ltoks")).cast("double")
@@ -235,13 +248,16 @@ def link_mentions(docs: DataFrame, width: int = DEFAULT_WIDTH,
     # sort-based row_number window (measured 17.9 -> 13.0 s at sf0.1;
     # at 100 TB the partial combine also collapses candidates before the
     # shuffle, which a window's full sort cannot)
-    tail_links = (cand.groupBy("doc_id", "mention")
-                  .agg(F.max(F.struct(
-                      F.col("score"),
-                      (-F.col("qid_num")).alias("_nq"))).alias("_b"))
-                  .select("doc_id", "mention",
-                          (-F.col("_b._nq")).alias("qid_num"),
-                          F.col("_b.score").alias("score"),
+    best = (cand.groupBy("mention")
+            .agg(F.max(F.struct(
+                F.col("score"),
+                (-F.col("qid_num")).alias("_nq"))).alias("_b"))
+            .select("mention",
+                    (-F.col("_b._nq")).alias("qid_num"),
+                    F.col("_b.score").alias("score")))
+    tail_links = (rest.select("doc_id", "mention")
+                  .join(best, "mention")
+                  .select("doc_id", "mention", "qid_num", "score",
                           F.lit("tail").alias("link_path")))
 
     return (head_links.unionByName(tail_links)
