@@ -77,13 +77,20 @@ def knn_bruteforce(embeddings: DataFrame, queries: DataFrame,
     the big corpus never shuffles — scoring is a map-only stage; only the
     per-query top-k reduction exchanges data.
     """
+    # norms are precomputed once per corpus row / per query row and the
+    # per-candidate kernel is dot/(n_a*n_q) — same arithmetic, but the two
+    # higher-order-function norm walks no longer run once per candidate
+    # (guide §4.1: every HOF evaluation materializes an intermediate array)
+    corpus = embeddings.withColumn("_n", _norm(F.col("embedding")))
     q = F.broadcast(queries.select(F.col("query_id"),
-                                   F.col("embedding").alias("q_emb")))
-    scored = (embeddings.crossJoin(q)
+                                   F.col("embedding").alias("q_emb"))
+                    .withColumn("_qn", _norm(F.col("q_emb"))))
+    scored = (corpus.crossJoin(q)
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
-                      F.round(cosine_expr(F.col("embedding"),
-                                          F.col("q_emb")), 4).alias("cosine")))
+                      F.round(_dot(F.col("embedding"), F.col("q_emb"))
+                              / (F.col("_n") * F.col("_qn")), 4)
+                      .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -138,18 +145,22 @@ def knn_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
     exact baseline (knn_bruteforce) stays the quality oracle.
 
     Recall < 1 by construction — the documented ANN trade."""
-    corpus = lsh_sketch(embeddings, dim, n_planes)
+    corpus = lsh_sketch(embeddings, dim, n_planes) \
+        .withColumn("_n", _norm(F.col("embedding")))
     probe_variants = F.array(
         F.col("sketch"),
         *[F.col("sketch").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
     probes = (lsh_sketch(queries, dim, n_planes, emb_col="embedding")
               .select("query_id", F.col("embedding").alias("q_emb"),
-                      F.explode(probe_variants).alias("sketch")))
+                      F.explode(probe_variants).alias("sketch"))
+              .withColumn("_qn", _norm(F.col("q_emb"))))
+    # norms precomputed per side (see knn_bruteforce note); same arithmetic
     scored = (corpus.join(F.broadcast(probes), "sketch")
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
-                      F.round(cosine_expr(F.col("embedding"),
-                                          F.col("q_emb")), 4).alias("cosine"))
+                      F.round(_dot(F.col("embedding"), F.col("q_emb"))
+                              / (F.col("_n") * F.col("_qn")), 4)
+                      .alias("cosine"))
               .distinct())
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("vec_id"))
@@ -176,7 +187,7 @@ def knn_lsh_tables(embeddings: DataFrame, queries: DataFrame, dim: int,
     c_sketches = F.array(*[_sketch_expr("embedding", dim, n_planes, t)
                            for t in range(n_tables)])
     corpus = (embeddings
-              .select("vec_id", "embedding",
+              .select("vec_id", "embedding", _norm(F.col("embedding")).alias("_n"),
                       F.posexplode(c_sketches).alias("table_id", "sketch")))
 
     probe_rows = []
@@ -187,16 +198,19 @@ def knn_lsh_tables(embeddings: DataFrame, queries: DataFrame, dim: int,
         probe_rows.append(queries.select(
             "query_id", F.col("embedding").alias("q_emb"),
             F.lit(t).alias("table_id"),
-            F.explode(variants).alias("sketch")))
+            F.explode(variants).alias("sketch"))
+            .withColumn("_qn", _norm(F.col("q_emb"))))
     probes = probe_rows[0]
     for extra in probe_rows[1:]:
         probes = probes.unionByName(extra)
 
+    # norms precomputed per side (see knn_bruteforce note); same arithmetic
     scored = (corpus.join(F.broadcast(probes), ["table_id", "sketch"])
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
-                      F.round(cosine_expr(F.col("embedding"),
-                                          F.col("q_emb")), 4).alias("cosine"))
+                      F.round(_dot(F.col("embedding"), F.col("q_emb"))
+                              / (F.col("_n") * F.col("_qn")), 4)
+                      .alias("cosine"))
               .distinct())
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("vec_id"))
