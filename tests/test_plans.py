@@ -123,6 +123,15 @@ class TestNoCartesianPairs:
         assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
                 or "BroadcastHashJoin" in p)
 
+    def test_language_id_argmax_is_aggregate_not_window(self, spark):
+        """r7 verdict ask #9: the per-doc argmax runs as a partially-
+        aggregated min_by hash aggregate, not a row_number sort window."""
+        from widiff_spark import textops
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        p = plan(textops.language_id(docs))
+        assert "min_by" in p
+        assert "row_number" not in p
+
     def test_embedding_neardup_bucket_equijoin(self, spark):
         from widiff_spark import similarity
         emb = spark.read.parquet(f"{SF}/embeddings.parquet")

@@ -113,19 +113,30 @@ def _av_video_features(payload: bytes) -> np.ndarray:
     import av as _av
 
     out = np.full((8, 8), -1.0)
+    # two-pass streaming decode (ADVICE r7): pass 1 only counts frames;
+    # pass 2 converts exactly the <= 8 sampled frames to ndarrays as the
+    # stream goes by.  The old single-pass kept EVERY decoded frame in a
+    # Python list — a long real-world video materialized gigabytes of
+    # grayscale arrays inside one executor task.
     with _av.open(BytesIO(payload)) as container:
-        frames = [f.to_ndarray(format="gray")
-                  for f in container.decode(video=0)]
-    if frames:
-        idx = np.linspace(0, len(frames) - 1, num=min(8, len(frames)),
-                          dtype=int)
+        n_frames = sum(1 for _ in container.decode(video=0))
+    if n_frames:
+        idx = np.linspace(0, n_frames - 1, num=min(8, n_frames), dtype=int)
+        wanted: dict[int, list[int]] = {}
         for row, fi in enumerate(idx):
-            g = frames[fi].astype(np.float64)
-            # 8 horizontal bands, mean intensity each
-            bands = np.array_split(g, 8, axis=0)
-            prof = np.array([b.mean() if b.size else 127.5
-                             for b in bands])
-            out[row] = (prof - 127.5) / 128.0
+            wanted.setdefault(int(fi), []).append(row)
+        with _av.open(BytesIO(payload)) as container:
+            for i, f in enumerate(container.decode(video=0)):
+                rows = wanted.get(i)
+                if rows is None:
+                    continue
+                g = f.to_ndarray(format="gray").astype(np.float64)
+                # 8 horizontal bands, mean intensity each
+                bands = np.array_split(g, 8, axis=0)
+                prof = np.array([b.mean() if b.size else 127.5
+                                 for b in bands])
+                for row in rows:
+                    out[row] = (prof - 127.5) / 128.0
     return out.reshape(64)
 
 

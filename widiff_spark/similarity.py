@@ -350,7 +350,16 @@ def sq8_bounds(embeddings: DataFrame, dim: int = 64) -> list[tuple]:
         aggs.append(F.min(e).alias(f"mn{d}"))
         aggs.append(F.max(e).alias(f"mx{d}"))
     row = embeddings.agg(*aggs).collect()[0]
-    return [(row[f"mn{d}"], row[f"mx{d}"]) for d in range(dim)]
+    bounds = [(row[f"mn{d}"], row[f"mx{d}"]) for d in range(dim)]
+    bad = [d for d, (mn, mx) in enumerate(bounds) if mn is None or mx is None]
+    if bad:
+        # ADVICE r7: an empty frame or vectors shorter than ``dim`` used to
+        # surface later as an opaque float(None) TypeError in sq8_encode
+        raise ValueError(
+            f"sq8_bounds: no values for dimension(s) {bad[:5]} (of dim="
+            f"{dim}) — embeddings frame is empty or its vectors are "
+            f"shorter than dim")
+    return bounds
 
 
 def sq8_encode(embeddings: DataFrame, bounds: list[tuple],

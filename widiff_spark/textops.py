@@ -85,14 +85,18 @@ def language_id(docs: DataFrame) -> DataFrame:
         "cand_lang string, word string")
     toks = docs.select("doc_id",
                        F.explode(_tokens(F.lower("text"))).alias("word"))
-    from pyspark.sql import Window
     hits = (toks.join(F.broadcast(dim), "word")
             .groupBy("doc_id", "cand_lang").agg(F.count("*").alias("hits")))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
-    best = (hits.withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
-            .select("doc_id", F.col("cand_lang").alias("lang_pred"),
-                    F.col("hits").alias("lang_hits")))
+    # argmax as ONE partially-aggregated min_by over (-hits, cand_lang) —
+    # max hits, ties to the lexicographically first language — instead of
+    # a row_number window's sort-exchange (the knn_ivf / canonical_corpus
+    # house pattern; r7 verdict ask #9)
+    best = (hits.groupBy("doc_id")
+            .agg(F.min_by(F.struct("cand_lang", "hits"),
+                          F.struct((-F.col("hits")).alias("_nh"),
+                                   F.col("cand_lang"))).alias("_b"))
+            .select("doc_id", F.col("_b.cand_lang").alias("lang_pred"),
+                    F.col("_b.hits").alias("lang_hits")))
     return (docs.select("doc_id").join(best, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
