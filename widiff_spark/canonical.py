@@ -101,19 +101,67 @@ def homogenize_datavalue(snak: dict) -> dict:
     return snak
 
 
+def _fast_compact_json(o) -> str | None:
+    """Byte-identical fast path for ``json.dumps(o, separators=(',',':'))``
+    (default ensure_ascii) over the common datavalue shapes: exact-type
+    str/int/bool/None/finite-float/dict/list with ASCII escape-free
+    strings.  Returns None for anything uncertain (non-ASCII, escapes,
+    non-finite floats, exotic types) so the caller falls back to the real
+    encoder — the fallback IS the definition; this only skips the encoder
+    walk when the bytes are provably the same."""
+    t = type(o)
+    if t is str:
+        if o.isascii() and not _JSON_STR_ESCAPE.search(o):
+            return '"' + o + '"'
+        return None
+    if t is int:
+        return str(o)
+    if t is bool:
+        return "true" if o else "false"
+    if o is None:
+        return "null"
+    if t is float:
+        # json's floatstr uses repr() for finite floats
+        return repr(o) if o == o and o not in (float("inf"),
+                                               float("-inf")) else None
+    if t is dict:
+        parts = []
+        for k, v in o.items():
+            if type(k) is not str or not k.isascii() \
+                    or _JSON_STR_ESCAPE.search(k):
+                return None
+            vs = _fast_compact_json(v)
+            if vs is None:
+                return None
+            parts.append('"' + k + '":' + vs)
+        return "{" + ",".join(parts) + "}"
+    if t is list:
+        parts = []
+        for v in o:
+            vs = _fast_compact_json(v)
+            if vs is None:
+                return None
+            parts.append(vs)
+        return "[" + ",".join(parts) + "]"
+    return None
+
+
 def value_hash(hom_snak: dict | None) -> str | None:
     """sha1 identity of a homogenized snak's datavalue.
 
     For ``novalue``/``somevalue`` snaks the snak's own ``hash`` field is the
     identity.  The dump preserves *insertion order* of the datavalue keys —
-    the same bytes Python's ``json.dumps`` with compact separators produces.
+    the same bytes Python's ``json.dumps`` with compact separators produces
+    (via the fast path above when provably identical).
     Reference: page_parser.py:1032-1082.
     """
     if not hom_snak:
         return None
     if hom_snak.get("snaktype") in (NO_VALUE, SOME_VALUE):
         return hom_snak.get("hash")
-    payload = json.dumps(hom_snak["datavalue"], separators=(",", ":"))
+    payload = _fast_compact_json(hom_snak["datavalue"])
+    if payload is None:
+        payload = json.dumps(hom_snak["datavalue"], separators=(",", ":"))
     return hashlib.sha1(payload.encode("utf-8")).hexdigest()
 
 
@@ -243,7 +291,9 @@ def unescape_revision_text(text: str) -> str:
     smart-quote normalization, control-char strip (page_parser.py:158-164)."""
     import html
 
-    json_text = html.unescape(text.strip())
+    json_text = text.strip()
+    if "&" in json_text:  # html.unescape is the identity without '&'
+        json_text = html.unescape(json_text)
     json_text = (json_text.replace("“", '"').replace("”", '"')
                  .replace("„", '"').replace("‟", '"'))
     return _CONTROL_CHARS.sub("", json_text)

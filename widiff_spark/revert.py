@@ -33,9 +33,13 @@ upgrade path crashes the reference worker.  We implement the evident intent
 
 from __future__ import annotations
 
+from operator import itemgetter
+
 from . import canonical as C
 
 DEFAULT_TIME_THRESHOLD_SECONDS = 2419200  # 4 weeks (reference setup.yml:28-29)
+
+_itemgetter_ts = itemgetter("timestamp")
 
 
 def _pair_hash(change: dict, side: str) -> str:
@@ -106,7 +110,7 @@ def tag_reverted_edits(changes_by_pv: dict, value_changes: list,
             stats["num_reverted_edits_update"] += 1
 
     for (property_id, value_id, change_target), pv_changes in changes_by_pv.items():
-        pv_changes.sort(key=lambda x: x["timestamp"])
+        pv_changes.sort(key=_itemgetter_ts)
         reversion_keys: set = set()
         reverted_keys: set = set()
 
