@@ -917,8 +917,15 @@ def extract_changes(parsed: DataFrame,
     cols = ["repo", "path", "commit", "entity_id", "revision_id", "timestamp",
             "username", "user_id", "comment", "is_deleted", "parse_ok",
             "snapshot"]
+    # explicit-count repartition on the bucket key: the groupBy reuses the
+    # partitioning (no second exchange), the Python-heavy grouped stage runs
+    # one task per bucket (4x the core count — fine-grained enough that the
+    # wave tail stays short, guide §2.6), and the explicit count is exempt
+    # from AQE byte-based coalescing, which otherwise folds the CPU-bound
+    # stage into ~1-2 coarse waves sized for its (small) shuffle bytes
     return (parsed.select(*cols)
             .withColumn("__bucket",
                         F.pmod(F.xxhash64("repo", "path"), F.lit(n_buckets)))
+            .repartition(n_buckets, "__bucket")
             .groupBy("__bucket")
             .applyInPandas(make_bucket_diff_udf(config), schema=UNIFIED_SCHEMA))
