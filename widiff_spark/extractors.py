@@ -42,14 +42,20 @@ def _last_nonempty(col, commit_col: str = "commit"):
 def entity_labels(parsed: DataFrame) -> DataFrame:
     """Per-entity (qid, numeric_id, label, alias, description) dim
     (ExtractLabelsProperties.java:111-146) from the parsed revision table."""
-    lab = F.get_json_object("snapshot", "$.label")
-    ali = F.get_json_object("snapshot", "$.alias")
-    des = F.get_json_object("snapshot", "$.description")
-    return (parsed
+    # one json_tuple parse for all three top-level fields (the optimizer
+    # does NOT merge the three equivalent get_json_object calls — verified
+    # on the optimized plan — so this removes two full JSON parses of the
+    # snapshot column per row); same null semantics for missing fields /
+    # null snapshots
+    proj = parsed.select(
+        "repo", "path", "entity_id", "commit",
+        F.json_tuple("snapshot", "label", "alias", "description")
+        .alias("_jl", "_ja", "_jd"))
+    return (proj
             .groupBy("repo", "path", "entity_id")
-            .agg(_last_nonempty(lab).alias("_l"),
-                 _last_nonempty(ali).alias("_a"),
-                 _last_nonempty(des).alias("_d"))
+            .agg(_last_nonempty(F.col("_jl")).alias("_l"),
+                 _last_nonempty(F.col("_ja")).alias("_a"),
+                 _last_nonempty(F.col("_jd")).alias("_d"))
             .select("repo",
                     F.col("path").alias("qid"),
                     F.col("entity_id").alias("numeric_id"),
@@ -83,14 +89,15 @@ def property_labels(parsed: DataFrame) -> DataFrame:
     pre-extracted CSV side input.  Same last-non-empty-by-commit aggregate
     as entity_labels, over a ``parse_documents(..., namespace='property')``
     stream (paths shaped ``P<digits>``)."""
-    lab = F.get_json_object("snapshot", "$.label")
-    ali = F.get_json_object("snapshot", "$.alias")
-    des = F.get_json_object("snapshot", "$.description")
-    return (parsed
+    proj = parsed.select(
+        "repo", "path", "entity_id", "commit",
+        F.json_tuple("snapshot", "label", "alias", "description")
+        .alias("_jl", "_ja", "_jd"))  # one parse (see entity_labels)
+    return (proj
             .groupBy("repo", "path", "entity_id")
-            .agg(_last_nonempty(lab).alias("_l"),
-                 _last_nonempty(ali).alias("_a"),
-                 _last_nonempty(des).alias("_d"))
+            .agg(_last_nonempty(F.col("_jl")).alias("_l"),
+                 _last_nonempty(F.col("_ja")).alias("_a"),
+                 _last_nonempty(F.col("_jd")).alias("_d"))
             .select("repo",
                     F.col("path").alias("pid"),
                     F.col("entity_id").alias("numeric_id"),

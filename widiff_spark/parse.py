@@ -54,21 +54,40 @@ def _norm_lang_value(revision: dict, field: str) -> str | None:
     return None if isinstance(v, dict) else v
 
 
+_HOMOGENIZE_TOUCHES = frozenset(("globecoordinate", "time")) \
+    | frozenset(C.WD_ENTITY_TYPES)
+
+
 def _digest_statement(stmt: dict) -> dict:
     """Pre-compute every identity the diff needs for one statement."""
     mainsnak = stmt.get("mainsnak") or {}
-
-    # first-revision path: raw parse + the snak's own hash (page_parser.py:1356-1359)
-    raw_value, _raw_dt, _raw_meta = (
-        C.parse_snak(mainsnak) if mainsnak else (None, None, None))
     raw_hash = mainsnak.get("hash")
 
-    # all later paths: homogenize, canonical hash (page_parser.py:1607,
-    # 1659, 1804-1810).  In-place mutation is safe: this revision's parsed
-    # JSON is owned by this call and the raw value/hash were captured above.
-    hom = C.homogenize_datavalue(mainsnak)
-    value, datatype, metadata = C.parse_snak(hom)
-    vhash = C.value_hash(hom)
+    dv = mainsnak.get("datavalue")
+    dtype0 = dv.get("type") if type(dv) is dict else None
+    if mainsnak and (dv is None or (type(dv) is dict
+                                    and dtype0 not in _HOMOGENIZE_TOUCHES)):
+        # homogenize_datavalue is the identity for every datatype except
+        # globecoordinate/time/entity (it only pops/edits those), so the
+        # raw and homogenized parses coincide — one parse_snak + one hash
+        # instead of two parses (the second parse was ~10% of the whole
+        # parse stage in profiling; string statements dominate real dumps)
+        value, datatype, metadata = C.parse_snak(mainsnak)
+        raw_value = value
+        hom = mainsnak
+        vhash = C.value_hash(mainsnak)
+    else:
+        # first-revision path: raw parse + the snak's own hash
+        # (page_parser.py:1356-1359)
+        raw_value, _raw_dt, _raw_meta = (
+            C.parse_snak(mainsnak) if mainsnak else (None, None, None))
+        # all later paths: homogenize, canonical hash (page_parser.py:1607,
+        # 1659, 1804-1810).  In-place mutation is safe: this revision's
+        # parsed JSON is owned by this call and the raw value/hash were
+        # captured above.
+        hom = C.homogenize_datavalue(mainsnak)
+        value, datatype, metadata = C.parse_snak(hom)
+        vhash = C.value_hash(hom)
 
     # qualifiers: per qual-pid hash maps, deduped last-wins (page_parser.py:1276-1289)
     quals = {}
