@@ -83,10 +83,15 @@ def main() -> None:
          relops.QUERIES["rel_pricing_summary"](spark, sf),
          "PushedFilters + pruned ReadSchema on the lineitem scan; partial + "
          "final HashAggregate (map-side combine)."),
-        ("simhash near-dup pairs (pigeonhole bands)",
+        ("simhash near-dup pairs (value-level pigeonhole bands)",
          dedup.simhash_near_duplicates(docs_tbl, max_hamming=1),
-         "Equi hash join on (band, key) — no BroadcastNestedLoopJoin / "
-         "CartesianProduct anywhere."),
+         "Round 8: candidates pair the DISTINCT signature values (bounded "
+         "by min(n_docs, 2^bits)) on (band, key) equi-joins; doc expansion "
+         "is salted equi-joins with explicit repartition counts (exempt "
+         "from AQE byte-coalescing — the expansion output IS the answer, "
+         "so tiny-input/huge-output stages must be spread explicitly).  No "
+         "BroadcastNestedLoopJoin / CartesianProduct anywhere; 365.7 -> "
+         "4.9 s at sf1.0."),
         ("minhash LSH near-dup (bucketed candidates + pair-driven verify)",
          dedup.minhash_near_duplicates(docs_tbl, min_jaccard=0.5),
          "Band-bucket equi-join candidates; the verify expands candidate "
@@ -107,13 +112,21 @@ def main() -> None:
                                    n_tables=6),
          "One (table_id, sketch) equi-join against broadcast probe rows; "
          "the corpus is sketched for all 6 tables in a single posexplode "
-         "projection (one scan), candidates verified by exact cosine."),
+         "projection (one scan), candidates verified by exact cosine.  "
+         "Round 8: vector norms are projected ONCE per side (_n/_qn) and "
+         "the per-candidate kernel is dot/(n_a*n_q) — one higher-order-"
+         "function evaluation per candidate instead of three (17.3 -> "
+         "11.3 s at sf1.0)."),
         ("transitive-closure round join (closure.py semi-naive step)",
          _closure_round(spark, sf),
          "The per-round delta join is a plain (property_id, dst=src) "
          "equi-join + distinct + left-anti against the known closure — no "
          "CartesianProduct / BroadcastNestedLoopJoin; localCheckpoint "
-         "between rounds keeps this plan flat at any depth."),
+         "between rounds keeps this plan flat.  Round 8: the hop side is "
+         "the ACCUMULATED closure (path doubling — the reference's own "
+         "accelerated iterations), so a depth-d graph converges in "
+         "ceil(log2 d)+1 rounds instead of d (19.5 -> 11.3 s at sf1.0); "
+         "round 1, shown here, is identical in both forms."),
         ("zero-Python label dim pass (entity_labels_fast)",
          __import__("widiff_spark.extractors",
                     fromlist=["x"]).entity_labels_fast(corpus),
@@ -214,10 +227,69 @@ def main() -> None:
          "Bounded-state (source, 4-dec-quality) histogram aggregate -> "
          "per-source descending aggregate scan for threshold + tie "
          "allowance -> BroadcastHashJoin of the tiny threshold dim -> "
-         "map-only keep filter; the only window runs over the tie rows "
-         "at the threshold level, never a domain's full row set.  The "
+         "map-only keep filter; ties at the threshold resolve by a "
+         "salted two-phase min-k (round 8): phase 1 ranks within "
+         "(source, salt) so a hot single-quality tie set splits salt_k "
+         "ways, phase 2 ranks the <= salt_k*keep_at survivors.  The "
          "text scan is spread-guarded (weight 2: quality tokenizes the "
          "corpus twice; 36.1 -> 4.1 s at the 10x rehearsal)."),
+        ("Stupid-Backoff bigram LM (textops.bigram_logprob)",
+         __import__("widiff_spark.textops",
+                    fromlist=["x"]).bigram_logprob(docs_tbl),
+         "Window-free (plan-asserted): the predecessor token rides the "
+         "posexplode-carried array via element_at on the SAME row, so the "
+         "thrice-referenced position stream never sorts; the unigram and "
+         "bigram LMs are partial-aggregated wordcounts joined back on the "
+         "gram key (equi hash joins; AQE picks broadcast when the LM "
+         "fits); the only nested-loop is the 1-row normalizer broadcast."),
+        ("CCNet perplexity buckets (textops.perplexity_buckets)",
+         __import__("widiff_spark.textops",
+                    fromlist=["x"]).perplexity_buckets(docs_tbl),
+         "Corpus-own bigram LM + ONE exact-percentile aggregate over the "
+         "4-decimal score grid (bounded state) + broadcast thresholds + "
+         "map-only CASE — no global sort, no Window over the doc "
+         "stream."),
+        ("segment-level dedup (dedup.duplicate_segments)",
+         dedup.duplicate_segments(docs_tbl, width=3),
+         "Explode to ~n_tokens/width (doc, segment) rows -> ONE "
+         "partial-aggregated distinct-owner count per segment -> equi-join "
+         "back on the segment key -> per-doc aggregate.  A viral segment "
+         "is a hot COUNT, never a pair list; partial aggregation collapses "
+         "per-partition repeats before the shuffle (plan-asserted: >= 2 "
+         "HashAggregates, equi hash join, no cartesian)."),
+        ("quality-aware canonical dedup (dedup.canonical_corpus)",
+         dedup.canonical_corpus(docs_tbl),
+         "Reuses the bounded-round LSH + large/small-star clustering, then "
+         "ONE max_by((quality, -doc_id)) hash aggregate per component and "
+         "one equi-join of the winner dim back on component_id — no "
+         "window, no global sort over the corpus (plan-asserted)."),
+        ("per-source curation stats (textops.source_stats)",
+         __import__("widiff_spark.textops",
+                    fromlist=["x"]).source_stats(docs_tbl),
+         "Single scan: quality computed INLINE via the shared "
+         "_quality_exprs (no join back on doc_id — plan-asserted "
+         "join-free), one source-keyed partial+final aggregate; a viral "
+         "domain is a hot count."),
+        ("curriculum buckets (sampling.curriculum_buckets)",
+         __import__("widiff_spark.sampling",
+                    fromlist=["x"]).curriculum_buckets(docs_tbl),
+         "ONE exact-percentile aggregate on the pre-rounded 4-dec quality "
+         "grid (bounded state), a 1-row threshold broadcast (the single "
+         "expected BroadcastNestedLoopJoin) and a map-only CASE — "
+         "plan-asserted Window-free (ntile would global-sort the "
+         "corpus)."),
+        ("one-pass GROUPING SETS rollup (relops.q_grouping_sets)",
+         relops.QUERIES["rel_grouping_sets"](spark, sf),
+         "All three granularities from ONE parquet scan via Expand + one "
+         "partially-aggregated shuffle — where the UNION ALL formulation "
+         "pays k scans (plan-asserted: Expand present, exactly one Scan "
+         "parquet node)."),
+        ("SQ8 scalar-quantized ANN (similarity.knn_sq8)",
+         similarity.knn_sq8(emb, queries, k=5, dim=64),
+         "Codebook = one aggregate pass folded in as literals (no bounds "
+         "join); encode + asymmetric scoring are map-only against the "
+         "broadcast query side (the knn_bruteforce shape: corpus never "
+         "shuffles, <= 2 exchanges total, plan-asserted)."),
     ]
 
     out = ["# PLANS.md — physical plans of the headline operators",
