@@ -224,6 +224,14 @@ def main() -> None:
                   lambda: curation.curate_corpus(
                       docs_tbl, bench_docs,
                       target_rows=docs_tbl.count() // 4).count(), results)
+            # round-8: the value-level simhash rewrite must hold at 10x —
+            # its output is inherently pair-quadratic in duplicate-cluster
+            # size, so the measured claim is that CANDIDATE work stays
+            # bounded by distinct signature values while the expansion
+            # scales with the (irreducible) output
+            timed("dedup_simhash_pairs",
+                  lambda: dedup.simhash_near_duplicates(
+                      docs_tbl, max_hamming=1).count(), results)
             timed("dedup_substring_spans",
                   lambda: dedup.duplicate_spans(docs_tbl, k=10).count(),
                   results)

@@ -97,8 +97,26 @@ def _battery_stage(rows: DataFrame, battery, feature_cols: list[str],
               + ", ".join(f"{k} {t}" for k, (t, _v) in extra_literals.items()))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bounded per-task memo on the (old, new) pair: the batteries are
+        # pure functions of the two serialized values, and value pairs
+        # repeat heavily (rank strings, common dates/quantities, popular
+        # labels) — guide §4.5 heavyweight-work-once-per-task applied at
+        # the row level.  dict, not lru_cache: no eviction bookkeeping;
+        # reset per task and capped so a pathological corpus cannot grow
+        # it unboundedly.
+        memo: dict = {}
+
+        def cached(o, n):
+            key = (o, n)
+            v = memo.get(key)
+            if v is None:
+                v = battery(o, n)
+                if len(memo) < (1 << 17):
+                    memo[key] = v
+            return v
+
         for pdf in batches:
-            feats = [battery(o, n) for o, n in
+            feats = [cached(o, n) for o, n in
                      zip(pdf["old_value"], pdf["new_value"])]
             fdf = pd.DataFrame(feats, columns=feature_cols, index=pdf.index) \
                 if feats else pd.DataFrame(columns=feature_cols)
