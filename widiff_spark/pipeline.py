@@ -31,6 +31,13 @@ SESSION_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # allow shuffled-hash join where the per-partition build side fits
+    # (guide §3.1/§9 baseline): sort-merge pays two sorts the dedup/verify
+    # equi-joins don't need (measured −15% on the minhash family); the AQE
+    # threshold additionally rewrites SMJ->SHJ at runtime from REAL sizes,
+    # so the choice stays size-guarded on any cluster, not local-tuned
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     # the parse stage is CPU-bound Python over modest bytes: split file scans
     # well below the 128m default so a handful of input files still fans out
     # to every core (row-group-bounded; writers here emit many small files)
