@@ -28,6 +28,46 @@ import json
 import re
 from datetime import datetime
 
+try:  # optional fast JSON codec for the *internal* digest transport only —
+    # identity serialization below stays on the exact stdlib json.dumps
+    # arguments the reference uses (byte parity is mandatory there)
+    import orjson as _orjson
+except ImportError:  # pragma: no cover - orjson ships in this environment
+    _orjson = None
+
+
+def fast_json_loads(s):
+    """``json.loads`` with an orjson fast path.
+
+    orjson accepts a strict subset of what stdlib json accepts (it rejects
+    NaN/Infinity literals, >64-bit ints, trailing data), so falling back to
+    the stdlib on *any* orjson error preserves stdlib semantics exactly:
+    every input decodes to the same object, and invalid input raises the
+    stdlib ``json.JSONDecodeError`` the callers catch.
+    """
+    if _orjson is not None:
+        try:
+            return _orjson.loads(s)
+        except Exception:
+            pass
+    return json.loads(s)
+
+
+def fast_json_dumps_compact(obj) -> str:
+    """Compact ``json.dumps(ensure_ascii=False, separators=(',', ':'))``
+    with an orjson fast path — for the internal digest transport ONLY
+    (consumers parse it back; nothing hashes or byte-compares it).
+
+    Falls back to the stdlib for anything orjson cannot serialize
+    (non-string keys, >64-bit ints, inf/nan floats).
+    """
+    if _orjson is not None:
+        try:
+            return _orjson.dumps(obj).decode("utf-8")
+        except Exception:
+            pass
+    return json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+
 # --- change-type vocabulary (reference scripts/const.py:51-65) ---------------
 CREATE_PROPERTY_VALUE = "CREATE_PROPERTY_VALUE"
 UPDATE_PROPERTY_VALUE = "UPDATE_PROPERTY_VALUE"
@@ -265,13 +305,24 @@ def clean_time_string(v: str) -> str:
     return _TIME_UPDATE_NOISE.sub(r"\1", v)
 
 
+_SPLIT_CHANGE_TYPE_CACHE: dict = {}
+
+
 def split_change_type(change_type: str):
     """``CREATE_PROPERTY_VALUE`` -> ('CREATE', 'PROPERTY_VALUE')
-    (page_parser.py:189-200)."""
+    (page_parser.py:189-200).  Memoized: the vocabulary is the fixed
+    constant set above, and the diff stage calls this once per emitted row."""
+    hit = _SPLIT_CHANGE_TYPE_CACHE.get(change_type)
+    if hit is not None:
+        return hit
     if not change_type or "_" not in change_type:
-        return change_type, None
-    action, target = change_type.split("_", 1)
-    return action, target
+        result = (change_type, None)
+    else:
+        action, target = change_type.split("_", 1)
+        result = (action, target)
+    if len(_SPLIT_CHANGE_TYPE_CACHE) < 1024:  # vocabulary is ~9 constants
+        _SPLIT_CHANGE_TYPE_CACHE[change_type] = result
+    return result
 
 
 def label_change_type(old_value, new_value):
@@ -307,11 +358,11 @@ def decode_revision_json(text: str):
     quarantine DataFrame instead).
     """
     try:
-        return json.loads(unescape_revision_text(text))
+        return fast_json_loads(unescape_revision_text(text))
     except json.JSONDecodeError:
         pass
     try:
-        return json.loads(text.strip())
+        return fast_json_loads(text.strip())
     except json.JSONDecodeError:
         return None
 

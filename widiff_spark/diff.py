@@ -255,7 +255,10 @@ class PageDiffer:
         (page_parser.py:1226-1348)."""
         prev = (prev_stmt or {}).get("quals") or {}
         curr = (curr_stmt or {}).get("quals") or {}
-        if not prev and not curr:
+        if prev == curr:
+            # identical qualifier sets (the common case between consecutive
+            # revisions) produce zero CREATE/DELETE rows below — skip the
+            # per-pid map/sort construction entirely
             return False
         changed = False
         for pid in sorted(set(prev) | set(curr)):
@@ -283,7 +286,9 @@ class PageDiffer:
         snaks (page_parser.py:1084-1224)."""
         prev_refs = (prev_stmt or {}).get("refs") or []
         curr_refs = (curr_stmt or {}).get("refs") or []
-        if not prev_refs and not curr_refs:
+        if prev_refs == curr_refs:
+            # identical reference sets emit nothing below — skip the
+            # key-map construction (covers the both-empty case too)
             return False
         prev_map = {(rh, pid, vh): (v, dt) for rh, pid, vh, v, dt in prev_refs}
         curr_map = {(rh, pid, vh): (v, dt) for rh, pid, vh, v, dt in curr_refs}
@@ -585,8 +590,19 @@ class PageDiffer:
         (page_parser.py:1754-1888)."""
         changed = False
         for pid in sorted(remaining):
-            prev_by_id = {s["sid"]: s for s in prev_claims.get(pid, [])}
-            curr_by_id = {s["sid"]: s for s in curr_claims.get(pid, [])}
+            prev_stmts = prev_claims.get(pid, [])
+            curr_stmts = curr_claims.get(pid, [])
+            if prev_stmts == curr_stmts:
+                # deep-equal statement lists: every branch below is a no-op
+                # (hash-equal statements emit nothing, touch no type state,
+                # and their rank/qualifier/reference diffs are all empty) —
+                # one C-speed compare replaces the whole per-sid loop.  The
+                # compare is conservative: any difference (including NaN
+                # values, which never compare equal) falls through to the
+                # full diff.
+                continue
+            prev_by_id = {s["sid"]: s for s in prev_stmts}
+            curr_by_id = {s["sid"]: s for s in curr_stmts}
             for sid in sorted(set(prev_by_id) | set(curr_by_id), key=str):
                 prev_stmt = prev_by_id.get(sid)
                 curr_stmt = curr_by_id.get(sid)
@@ -856,8 +872,9 @@ def _emit_page(out_cols: dict, repo: str, result: dict) -> None:
 
 
 def _prep_revisions(records: list[dict]) -> list[dict]:
+    loads = C.fast_json_loads  # digest transport decode (orjson fast path)
     for rec in records:
-        rec["digest"] = (json.loads(rec["snapshot"])
+        rec["digest"] = (loads(rec["snapshot"])
                          if rec["parse_ok"] and rec["snapshot"] else None)
         rec["username"] = rec["username"] or ""
         rec["comment"] = rec["comment"] or ""

@@ -145,7 +145,7 @@ def digest_revision(content: str, lang: str) -> tuple[dict | None, dict | None, 
         # suppressed text (<text deleted="deleted"/>, page_parser.py:1993-2011):
         # only the meta survives, for parent-pointer repair.
         try:
-            meta = json.loads(content).get("meta", {})
+            meta = C.fast_json_loads(content).get("meta", {})
         except (json.JSONDecodeError, AttributeError):
             meta = {}
         return meta, None, None
@@ -154,7 +154,7 @@ def digest_revision(content: str, lang: str) -> tuple[dict | None, dict | None, 
     if revision is None:
         # quarantine channel (page_parser.py:168-187)
         try:
-            meta = json.loads(content).get("meta", {})
+            meta = C.fast_json_loads(content).get("meta", {})
         except (json.JSONDecodeError, AttributeError):
             meta = {}
         return meta, None, "json_decode_error"
@@ -217,9 +217,10 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ap["parse_ok"](digest is not None)
             # compact separators: the digest is an internal transport
             # format (decoded in diff/salted, never hashed) — ~12% fewer
-            # bytes through the page shuffle
-            ap["snapshot"](json.dumps(digest, ensure_ascii=False,
-                                      separators=(",", ":"))
+            # bytes through the page shuffle; orjson fast path with stdlib
+            # fallback (consumers parse values back, so only value
+            # equivalence matters here, not byte layout)
+            ap["snapshot"](C.fast_json_dumps_compact(digest)
                            if digest is not None else None)
             ap["error"](error)
         yield pd.DataFrame(out, columns=cols).astype(

@@ -47,26 +47,65 @@ def _pair_hash(change: dict, side: str) -> str:
     return str(v).strip() if v != "{}" else ""
 
 
+_EPOCH_CACHE: dict = {}
+
+
+def _ts_to_epoch(ts: str) -> float:
+    """Timestamp-string -> epoch seconds, cached per worker: one revision
+    fans out to many change rows sharing the same timestamp string, and
+    timestamps repeat across pages in a bucket.  Bounded: cleared at 512k
+    entries (~50 MB worst case) so a long-lived worker cannot grow it
+    unboundedly."""
+    ep = _EPOCH_CACHE.get(ts)
+    if ep is None:
+        ep = C.parse_timestamp(ts).timestamp()
+        if len(_EPOCH_CACHE) >= 524288:
+            _EPOCH_CACHE.clear()
+        _EPOCH_CACHE[ts] = ep
+    return ep
+
+
 def _epoch(change: dict) -> float:
     """Memoized timestamp parse — the pairwise scan would otherwise strptime
     the same value once per comparison (the #1 hot spot in profiling)."""
     ts = change.get("_ts_epoch")
     if ts is None:
-        ts = C.parse_timestamp(change["timestamp"]).timestamp()
+        ts = _ts_to_epoch(change["timestamp"])
         change["_ts_epoch"] = ts
     return ts
+
+
+def _precompute_pair_fields(change: dict) -> None:
+    """Attach the per-change fields the pairwise scan reads per comparison
+    (pair strings, lowered comment, epoch) — computed once per change
+    instead of once per (current, future) pair, which was the scan's #1
+    remaining cost in profiling (str/strip/lower allocations per pair)."""
+    change["_po"] = _pair_hash(change, "old_value")
+    change["_pn"] = _pair_hash(change, "new_value")
+    change["_cl"] = str(change.get("comment", "")).lower()
+    if change.get("_ts_epoch") is None:
+        change["_ts_epoch"] = _ts_to_epoch(change["timestamp"])
 
 
 def check_revert(current: dict, future: dict,
                  time_threshold: int = DEFAULT_TIME_THRESHOLD_SECONDS) -> int:
     """1 if ``future`` reverts ``current`` (feature_creation.py:877-934)."""
-    curr_old = _pair_hash(current, "old_value")
-    curr_new = _pair_hash(current, "new_value")
-    next_old = _pair_hash(future, "old_value")
-    next_new = _pair_hash(future, "new_value")
-    next_comment = str(future.get("comment", "")).lower()
-
-    diff_ts = _epoch(future) - _epoch(current)
+    try:
+        # fast path: fields precomputed by tag_reverted_edits' group prologue
+        curr_old = current["_po"]
+        curr_new = current["_pn"]
+        next_old = future["_po"]
+        next_new = future["_pn"]
+        next_comment = future["_cl"]
+        diff_ts = future["_ts_epoch"] - current["_ts_epoch"]
+    except KeyError:
+        # direct callers (tests/API) pass bare dicts — compute in place
+        curr_old = _pair_hash(current, "old_value")
+        curr_new = _pair_hash(current, "new_value")
+        next_old = _pair_hash(future, "old_value")
+        next_new = _pair_hash(future, "new_value")
+        next_comment = str(future.get("comment", "")).lower()
+        diff_ts = _epoch(future) - _epoch(current)
 
     direct = (curr_old == next_new and curr_new == next_old
               and curr_old != "" and next_new != ""
@@ -110,15 +149,28 @@ def tag_reverted_edits(changes_by_pv: dict, value_changes: list,
             stats["num_reverted_edits_update"] += 1
 
     for (property_id, value_id, change_target), pv_changes in changes_by_pv.items():
+        if len(pv_changes) < 2:
+            # a single change can never pair with anything — the scan below
+            # is a no-op, so skip it AND its per-change precompute (single-
+            # change histories are the common case)
+            continue
         pv_changes.sort(key=_itemgetter_ts)
         reversion_keys: set = set()
         reverted_keys: set = set()
 
+        # group prologue: compute each change's pair strings / lowered
+        # comment / epoch / flag key ONCE — the pairwise scan below reads
+        # them once per comparison
+        for c in pv_changes:
+            _precompute_pair_fields(c)
+            c["_rk"] = (c["revision_id"], property_id, value_id,
+                        c["change_target"])
+
         for i, current in enumerate(pv_changes):
-            curr_key = (current["revision_id"], property_id, value_id,
-                        current["change_target"])
+            curr_key = current["_rk"]
             if curr_key in reverted_keys:
                 continue
+            cur_epoch = current["_ts_epoch"]
 
             next_changes = pv_changes[i + 1:]
             for j, future in enumerate(next_changes):
@@ -128,10 +180,9 @@ def tag_reverted_edits(changes_by_pv: dict, value_changes: list,
                 # bounds the per-history scan to the 4-week window (the
                 # unbounded scan is O(n²) on 10k+-change hot histories);
                 # semantics identical (the skipped pairs all return 0).
-                if _epoch(future) - _epoch(current) > time_threshold:
+                if future["_ts_epoch"] - cur_epoch > time_threshold:
                     break
-                future_key = (future["revision_id"], property_id, value_id,
-                              future["change_target"])
+                future_key = future["_rk"]
                 if (future_key in reversion_keys
                         or change_target != future["change_target"]
                         or (current["change_target"] == "rank"
@@ -195,8 +246,7 @@ def tag_reverted_edits(changes_by_pv: dict, value_changes: list,
                         and current["action"] == "UPDATE"
                         and future["action"] == "CREATE"):
                     for inter in next_changes[:j]:
-                        inter_key = (inter["revision_id"], property_id,
-                                     value_id, inter["change_target"])
+                        inter_key = inter["_rk"]
                         reverted_keys.add(inter_key)
                         if inter_key not in revert_flags:
                             revert_flags[inter_key] = (
