@@ -213,3 +213,35 @@ class TestFastCompactJson:
                 hits += 1
                 assert got == json.dumps(v, separators=(",", ":")), v
         assert hits > 1000  # the fast path actually fires
+
+
+class TestStripTimeLeadingZeros:
+    """The pure-string time-zero stripper must match the original regex
+    substitution byte-for-byte on every input."""
+
+    def test_fuzzed_equivalence_with_regex(self):
+        import random
+        import re
+
+        from widiff_spark.canonical import _strip_time_leading_zeros
+
+        pat = re.compile(r"^([+-])0*(\d+)")
+
+        def ref(s):
+            return pat.sub(r"\1\2", s)
+
+        cases = [
+            "", "+", "-", "+0", "-0", "+00", "+0000", "+2013-01-01T00:00:00Z",
+            "+00000002013-01-01T00:00:00Z", "-00000000100-01-01T00:00:00Z",
+            "+0abc", "+000abc", "+abc", "0123", "abc", "+٣٤", "+00٣",
+            "+0²", "+00-01-01", "+0000-01-01T00:00:00Z",
+        ]
+        for s in cases:
+            assert _strip_time_leading_zeros(s) == ref(s), repr(s)
+
+        rng = random.Random(8)
+        alphabet = "+-0123456789T:Z-abc٣²"
+        for _ in range(20000):
+            s = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 12)))
+            assert _strip_time_leading_zeros(s) == ref(s), repr(s)

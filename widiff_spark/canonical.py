@@ -111,6 +111,26 @@ def id_to_int(wd_id: str) -> int:
     return int(wd_id[1:])
 
 
+def _strip_time_leading_zeros(s: str) -> str:
+    """Pure-string equivalent of ``_TIME_LEADING_ZEROS.sub(r"\\1\\2", s)``
+    (pattern ``^([+-])0*(\\d+)``) — the regex + template expansion was a
+    measurable share of the parse stage.  Equivalence is fuzz-pinned in
+    tests/test_canonical.py."""
+    if not s or s[0] not in "+-":
+        return s
+    i = 1
+    n = len(s)
+    while i < n and s[i] == "0":
+        i += 1
+    if i == 1:  # no leading zeros: the sub is the identity
+        return s
+    if i < n and s[i].isdecimal():  # regex \d == Unicode category Nd
+        return s[0] + s[i:]
+    # zeros followed by a non-digit (or end): the regex backtracks to leave
+    # one digit, so exactly one zero survives
+    return s[0] + "0" + s[i:]
+
+
 def homogenize_datavalue(snak: dict) -> dict:
     """Normalize a snak in place before hashing/diffing.
 
@@ -131,7 +151,7 @@ def homogenize_datavalue(snak: dict) -> dict:
     if dtype == "time":
         value.pop("before", None)
         value.pop("after", None)
-        value["time"] = _TIME_LEADING_ZEROS.sub(r"\1\2", value["time"])
+        value["time"] = _strip_time_leading_zeros(value["time"])
 
     if dtype in WD_ENTITY_TYPES:
         if "id" not in value:
@@ -345,8 +365,10 @@ def unescape_revision_text(text: str) -> str:
     json_text = text.strip()
     if "&" in json_text:  # html.unescape is the identity without '&'
         json_text = html.unescape(json_text)
-    json_text = (json_text.replace("“", '"').replace("”", '"')
-                 .replace("„", '"').replace("‟", '"'))
+    if not json_text.isascii():  # smart quotes are non-ASCII; isascii is
+        # O(1) (cached str flag) vs four full `.replace` scans per revision
+        json_text = (json_text.replace("“", '"').replace("”", '"')
+                     .replace("„", '"').replace("‟", '"'))
     return _CONTROL_CHARS.sub("", json_text)
 
 
