@@ -25,7 +25,6 @@ on clusters that ship it, reference feature_creation.py:29-121).
 from __future__ import annotations
 
 import hashlib
-import json
 from typing import Iterator
 
 import numpy as np
