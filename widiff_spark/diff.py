@@ -606,6 +606,16 @@ class PageDiffer:
             for sid in sorted(set(prev_by_id) | set(curr_by_id), key=str):
                 prev_stmt = prev_by_id.get(sid)
                 curr_stmt = curr_by_id.get(sid)
+                if prev_stmt == curr_stmt:
+                    # deep-equal statements (the common case when only one
+                    # sid of a multi-statement pid changed): equal hashes
+                    # take no value/metadata branch, equal ranks return
+                    # False from _handle_rank_changes, and equal quals/refs
+                    # hit the == early-exits — one C-speed compare replaces
+                    # the three sub-diff calls.  Conservative like the
+                    # list-level check above: any difference (incl. NaN)
+                    # falls through to the full diff.
+                    continue
                 old_hash = prev_stmt["hash"] if prev_stmt else None
                 new_hash = curr_stmt["hash"] if curr_stmt else None
                 old_value = prev_stmt["value"] if prev_stmt else None
@@ -902,6 +912,8 @@ def make_bucket_diff_udf(config: PipelineConfig = DEFAULT_CONFIG):
     DataFrame materialized per bucket."""
     from itertools import groupby as _groupby
 
+    import numpy as np
+
     def bucket_diff(pdf: pd.DataFrame) -> pd.DataFrame:
         out_cols: dict = {c: [] for c in _UNIFIED_COLUMNS}
         pdf = pdf.sort_values(["repo", "path", "commit"], kind="mergesort")
@@ -911,7 +923,18 @@ def make_bucket_diff_udf(config: PipelineConfig = DEFAULT_CONFIG):
             revisions = list(revs)
             differ = PageDiffer(repo, int(revisions[0]["entity_id"]), config)
             _emit_page(out_cols, repo, differ.process_page(revisions))
-        return pd.DataFrame(out_cols, columns=_UNIFIED_COLUMNS)
+        # pre-built object ndarrays skip pandas' per-column type inference
+        # (maybe_convert_platform) and the object-block consolidation vstack
+        # — ~2x cheaper frame construction, measured on real bucket output.
+        # Arrow conversion back in Spark coerces to UNIFIED_SCHEMA's types
+        # from object exactly as it did for the inferred object columns.
+        n = len(out_cols["table"])
+        data = {}
+        for c in _UNIFIED_COLUMNS:
+            arr = np.empty(n, dtype=object)
+            arr[:] = out_cols[c]
+            data[c] = arr
+        return pd.DataFrame(data, columns=_UNIFIED_COLUMNS, copy=False)
     return bucket_diff
 
 

@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
@@ -223,7 +224,22 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ap["snapshot"](C.fast_json_dumps_compact(digest)
                            if digest is not None else None)
             ap["error"](error)
-        yield pd.DataFrame(out, columns=cols).astype(
+        # pre-built ndarrays skip pandas' per-column inference and block
+        # consolidation (same pattern as diff.bucket_diff); the
+        # nullable-Int64 casts behave identically from object columns.
+        # is_deleted/parse_ok stay real bool dtype (they are never null) —
+        # pandas consumers rely on boolean `~`, which on object-dtype
+        # Python bools is arithmetic invert.
+        n = len(out["repo"])
+        data = {}
+        for c in cols:
+            if c in ("is_deleted", "parse_ok"):
+                data[c] = np.array(out[c], dtype=bool)
+            else:
+                arr = np.empty(n, dtype=object)
+                arr[:] = out[c]
+                data[c] = arr
+        yield pd.DataFrame(data, columns=cols, copy=False).astype(
             {"revision_id": "Int64", "parent_id": "Int64",
              "entity_id": "Int64"})
 
