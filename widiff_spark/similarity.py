@@ -190,19 +190,22 @@ def knn_lsh_tables(embeddings: DataFrame, queries: DataFrame, dim: int,
               .select("vec_id", "embedding", _norm(F.col("embedding")).alias("_n"),
                       F.posexplode(c_sketches).alias("table_id", "sketch")))
 
-    probe_rows = []
-    for t in range(n_tables):
-        base = _sketch_expr("embedding", dim, n_planes, t)
-        variants = F.array(base, *[base.bitwiseXOR(F.lit(1 << p))
-                                   for p in range(n_planes)])
-        probe_rows.append(queries.select(
-            "query_id", F.col("embedding").alias("q_emb"),
-            F.lit(t).alias("table_id"),
-            F.explode(variants).alias("sketch"))
-            .withColumn("_qn", _norm(F.col("q_emb"))))
-    probes = probe_rows[0]
-    for extra in probe_rows[1:]:
-        probes = probes.unionByName(extra)
+    # probes mirror the corpus: ONE posexplode of the same sketch array,
+    # then the radius-1 variants as bit flips of the exploded COLUMN.  Rows
+    # are identical to the per-table union formulation this replaces
+    # (parity-verified), but the plan carries one copy of the 24-plane
+    # sketch subtree instead of 6 branches x 5 copies + a union — that
+    # formulation cost ~4 s of DRIVER-side Catalyst analysis per call
+    # (scale-independent overhead; the sf0.1 line dropped ~3x)
+    probes = (queries
+              .select("query_id", F.col("embedding").alias("q_emb"),
+                      _norm(F.col("embedding")).alias("_qn"),
+                      F.posexplode(c_sketches).alias("table_id", "base"))
+              .select("query_id", "q_emb", "_qn", "table_id",
+                      F.explode(F.array(F.col("base"),
+                                        *[F.col("base").bitwiseXOR(F.lit(1 << p))
+                                          for p in range(n_planes)]))
+                      .alias("sketch")))
 
     # norms precomputed per side (see knn_bruteforce note); same arithmetic
     scored = (corpus.join(F.broadcast(probes), ["table_id", "sketch"])
