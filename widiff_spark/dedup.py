@@ -343,14 +343,21 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                       F.col(dst).cast("long").alias("v"))
          .where(F.col("u") != F.col("v"))
          .distinct().localCheckpoint())
+    n = e.count()
     for _ in range(max_rounds):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        # converged when the star-edge set is stable (both sides distinct,
-        # so one anti-join each way decides set equality)
-        if e2.exceptAll(e).isEmpty() and e.exceptAll(e2).isEmpty():
+        # converged when the star-edge set is stable.  Both sides are
+        # distinct sets, so equal cardinality + one empty one-sided
+        # difference decides set equality — the count over the just-
+        # checkpointed blocks is nearly free, so non-final rounds skip
+        # both shuffled anti-join probes and the final round runs one
+        # instead of two.  The loop breaks at exactly the same round as
+        # the old two-probe check.
+        n2 = e2.count()
+        if n2 == n and e2.exceptAll(e).isEmpty():
             e = e2
             break
-        e = e2
+        e, n = e2, n2
     else:
         raise RuntimeError(
             f"connected_components did not converge within {max_rounds} "
