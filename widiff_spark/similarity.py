@@ -36,14 +36,20 @@ def cosine_expr(a, b):
 
 
 def pairwise_cosine(embeddings: DataFrame, min_cosine: float) -> DataFrame:
-    """Embedding near-dup pairs: all (a < b) with cosine >= threshold."""
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
+    """Embedding near-dup pairs: all (a < b) with cosine >= threshold.
+
+    Norms are projected once per side BELOW the join (the knn_bruteforce
+    pattern): the per-pair kernel is one dot — the same doubles in the
+    same order as cosine_expr, minus two per-pair HOF norm walks."""
+    sides = embeddings.select("vec_id", "embedding",
+                              _norm(F.col("embedding")).alias("_n"))
+    a = sides.alias("a")
+    b = sides.alias("b")
     return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
-                    F.round(cosine_expr(F.col("a.embedding"),
-                                        F.col("b.embedding")), 4)
+                    F.round(_dot(F.col("a.embedding"), F.col("b.embedding"))
+                            / (F.col("a._n") * F.col("b._n")), 4)
                     .alias("cosine"))
             .filter(F.col("cosine") >= min_cosine))
 
@@ -57,14 +63,15 @@ def bucketed_pairwise_cosine(embeddings: DataFrame, min_cosine: float,
     construction (near neighbors straddling a hyperplane land in different
     buckets); the DuckDB oracle applies the identical sketch restriction
     (deterministic sha256 hyperplanes inlined as constants)."""
-    sk = lsh_sketch(embeddings, dim, n_planes)
+    sk = lsh_sketch(embeddings, dim, n_planes) \
+        .withColumn("_n", _norm(F.col("embedding")))
     a, b = sk.alias("a"), sk.alias("b")
     return (a.join(b, (F.col("a.sketch") == F.col("b.sketch"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
-                    F.round(cosine_expr(F.col("a.embedding"),
-                                        F.col("b.embedding")), 4)
+                    F.round(_dot(F.col("a.embedding"), F.col("b.embedding"))
+                            / (F.col("a._n") * F.col("b._n")), 4)
                     .alias("cosine"))
             .filter(F.col("cosine") >= min_cosine))
 
@@ -240,17 +247,24 @@ def knn_ivf(embeddings: DataFrame, queries: DataFrame, n_cells: int = 32,
     help on isotropic embeddings (recall -1 to -4 points at equal cost —
     fewer effective cells after refinement; sweep recorded in
     BENCH/BASELINE.md), so the seed centroids stay."""
+    # norms projected once per side below every join (knn_bruteforce
+    # pattern): the centroid dim carries _cn, each scored side carries its
+    # own vector norm, and every cosine is dot/(n_a*n_b) — the same
+    # doubles in the same order as cosine_expr, minus the per-pair HOF
+    # norm walks (n_cells of them per vector in the assignment alone)
     centroids = F.broadcast(
         embeddings.orderBy("vec_id").limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"),
-                F.col("embedding").alias("c_emb")))
+                F.col("embedding").alias("c_emb"),
+                _norm(F.col("embedding")).alias("_cn")))
 
     def scored_cells(df, id_col, emb_col):
-        return (df.crossJoin(centroids)
-                .select(id_col, emb_col,
+        return (df.withColumn("_vn", _norm(F.col(emb_col)))
+                .crossJoin(centroids)
+                .select(id_col, emb_col, "_vn",
                         "cell_id",
-                        cosine_expr(F.col(emb_col), F.col("c_emb"))
-                        .alias("c_cos")))
+                        (_dot(F.col(emb_col), F.col("c_emb"))
+                         / (F.col("_vn") * F.col("_cn"))).alias("c_cos")))
 
     # corpus side (keep=1): argmax as a partial-aggregated max_by, not a
     # row_number window — the corpus x n_cells scored rows otherwise all
@@ -260,12 +274,13 @@ def knn_ivf(embeddings: DataFrame, queries: DataFrame, n_cells: int = 32,
     # identical to the old window's (c_cos DESC, cell_id ASC)
     corpus = (scored_cells(embeddings, "vec_id", "embedding")
               .groupBy("vec_id")
-              .agg(F.max_by(F.struct("cell_id", "embedding"),
+              .agg(F.max_by(F.struct("cell_id", "embedding", "_vn"),
                             F.struct(F.col("c_cos"),
                                      (-F.col("cell_id")).alias("_nc")))
                    .alias("_best"))
               .select("vec_id", F.col("_best.cell_id").alias("cell_id"),
-                      F.col("_best.embedding").alias("embedding")))
+                      F.col("_best.embedding").alias("embedding"),
+                      F.col("_best._vn").alias("_n")))
 
     # query side (keep=n_probe): top-n needs an ordering; the query set is
     # small, so the window sort is cheap and stays
@@ -275,12 +290,14 @@ def knn_ivf(embeddings: DataFrame, queries: DataFrame, n_cells: int = 32,
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"),
                                                 F.asc("cell_id"))
     probes = (q_scored.withColumn("__r", F.row_number().over(wq))
-              .filter(F.col("__r") <= n_probe).drop("__r", "c_cos"))
+              .filter(F.col("__r") <= n_probe).drop("__r", "c_cos")
+              .withColumnRenamed("_vn", "_qn"))
     scored = (corpus.join(probes, "cell_id")
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
-                      F.round(cosine_expr(F.col("embedding"),
-                                          F.col("q_emb")), 4).alias("cosine")))
+                      F.round(_dot(F.col("embedding"), F.col("q_emb"))
+                              / (F.col("_n") * F.col("_qn")), 4)
+                      .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -307,33 +324,40 @@ def semdedup(embeddings: DataFrame, n_cells: int = 32,
     the join stays shuffle-partitioned on cell_id.
 
     Returns (vec_id, cell_id, centroid_cos, keep)."""
+    # norms once per side below the joins (knn_bruteforce pattern): _cn on
+    # the broadcast centroid dim, _n carried per vector through the
+    # assignment argmax — the per-pair kernels keep only the dot, same
+    # doubles in the same order as cosine_expr
     centroids = F.broadcast(
         embeddings.orderBy("vec_id").limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"),
-                F.col("embedding").alias("c_emb")))
-    scored = (embeddings.crossJoin(centroids)
-              .select("vec_id", "embedding", "cell_id",
-                      cosine_expr(F.col("embedding"), F.col("c_emb"))
-                      .alias("c_cos")))
+                F.col("embedding").alias("c_emb"),
+                _norm(F.col("embedding")).alias("_cn")))
+    scored = (embeddings.withColumn("_n", _norm(F.col("embedding")))
+              .crossJoin(centroids)
+              .select("vec_id", "embedding", "_n", "cell_id",
+                      (_dot(F.col("embedding"), F.col("c_emb"))
+                       / (F.col("_n") * F.col("_cn"))).alias("c_cos")))
     # argmax as a partial-aggregated max_by, not a row_number window:
     # the kg_link_mentions top-1 lesson — a hash aggregate avoids the
     # full sort-shuffle, which matters here because the assignment
     # subtree executes once per reference below (ties break to the
     # lowest cell_id via the (c_cos, -cell_id) ordering struct)
     assigned = (scored.groupBy("vec_id")
-                .agg(F.max_by(F.struct("cell_id", "embedding"),
+                .agg(F.max_by(F.struct("cell_id", "embedding", "_n"),
                               F.struct(F.col("c_cos"),
                                        (-F.col("cell_id")).alias("_nc")))
                      .alias("_best"),
                      F.max("c_cos").alias("c_cos"))
                 .select("vec_id", F.col("_best.cell_id").alias("cell_id"),
                         F.col("_best.embedding").alias("embedding"),
+                        F.col("_best._n").alias("_n"),
                         "c_cos"))
     a, b = assigned.alias("a"), assigned.alias("b")
     dup = (a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
                   & (F.col("b.vec_id") < F.col("a.vec_id")))
-           .filter(F.round(cosine_expr(F.col("a.embedding"),
-                                       F.col("b.embedding")), 4)
+           .filter(F.round(_dot(F.col("a.embedding"), F.col("b.embedding"))
+                           / (F.col("a._n") * F.col("b._n")), 4)
                    >= min_cosine)
            .select(F.col("a.vec_id").alias("vec_id")).distinct()
            .withColumn("_dup", F.lit(True)))
@@ -408,15 +432,21 @@ def knn_sq8(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         F.col("sq8"),
         lambda c, i: F.element_at(mins, i + 1)
         + c.cast("double") * F.element_at(rng, i + 1) / 255.0)
-    corpus = sq8_encode(embeddings, bounds).select(
-        "vec_id", recon.alias("recon"))
+    # norms once per side below the join (knn_bruteforce pattern): the
+    # reconstructed vector and its norm are row-level projections, so the
+    # per-pair kernel keeps only the dot — same doubles in the same order
+    # as cosine_expr, minus two 64-element HOF walks per candidate pair
+    corpus = (sq8_encode(embeddings, bounds)
+              .select("vec_id", recon.alias("recon"))
+              .withColumn("_n", _norm(F.col("recon"))))
     q = F.broadcast(queries.select(F.col("query_id"),
-                                   F.col("embedding").alias("q_emb")))
+                                   F.col("embedding").alias("q_emb"),
+                                   _norm(F.col("embedding")).alias("_qn")))
     scored = (corpus.crossJoin(q)
               .filter(F.col("vec_id") != F.col("query_id"))
               .select("query_id", "vec_id",
-                      F.round(cosine_expr(F.col("recon"),
-                                          F.col("q_emb")), 4)
+                      F.round(_dot(F.col("recon"), F.col("q_emb"))
+                              / (F.col("_n") * F.col("_qn")), 4)
                       .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("vec_id"))
