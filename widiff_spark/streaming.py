@@ -183,40 +183,47 @@ def write_revision_stream_chunks(rev: DataFrame, path: str,
 
     A single parallel write is NOT enough: the file source orders part
     files by modification time, and concurrent part-writes carry racing
-    mtimes that can invert the timestamp-range order across runs.  One
-    sequential append per ``chunk_col`` value gives increasing mtimes;
-    because filesystem mtime granularity can be coarse enough for two
-    fast writes to tie, each chunk's file is explicitly ``os.utime``-d
-    one second after its predecessor — monotonicity enforced, not
-    assumed.  The coalesce(1) precedes the sort so the single output
-    file is GLOBALLY sorted (sort-then-coalesce would concatenate
-    per-partition runs).  Returns the number of chunks written."""
+    mtimes that can invert the timestamp-range order across runs.  The
+    one-file-per-chunk layout therefore comes from ONE single-task
+    dynamic-partition write (coalesce(1) + partitionBy on a copy of the
+    chunk column, so the chunk column itself stays in the file data like
+    the old flat append produced); the lone task writes exactly one
+    globally-sorted file per chunk value.  The files are then moved into
+    ``path`` in chunk order on the driver and each is explicitly
+    ``os.utime``-d one second after its predecessor — monotonicity
+    enforced, not assumed (filesystem mtime granularity can be coarse
+    enough for fast writes to tie).  One Spark job total, replacing the
+    old one-job-per-chunk loop (plus its distinct+collect job) — same
+    files, same order, same mtime contract.  Returns the number of
+    chunks written."""
     import os
+    import shutil
+    from urllib.parse import unquote
 
-    def _parts() -> set[str]:
-        try:
-            return {os.path.join(path, f) for f in os.listdir(path)
-                    if f.startswith("part-")}
-        except FileNotFoundError:
-            return set()
+    stage = path.rstrip("/") + ".__stage__"
+    part_key = "__chunk_part"
+    (rev.withColumn(part_key, F.col(chunk_col))
+     .coalesce(1)
+     .sortWithinPartitions(chunk_col, "timestamp", "revision_id")
+     .write.mode("overwrite").partitionBy(part_key).parquet(stage))
 
-    chunks = sorted(r[0] for r in rev.select(chunk_col).distinct().collect())
-    seen, last_mtime = _parts(), 0.0
-    for ch in chunks:
-        (rev.filter(F.col(chunk_col) == ch)
-         .coalesce(1)
-         .sortWithinPartitions("timestamp", "revision_id")
-         .write.mode("append").parquet(path))
-        # enforce strictly-increasing mtimes across chunks even when the
-        # filesystem's mtime granularity would let two fast writes tie;
-        # the new file is identified by set-diff, never by mtime
-        now = _parts()
-        for p in sorted(now - seen):
-            target = max(os.path.getmtime(p), last_mtime + 1.0)
-            os.utime(p, (target, target))
+    chunk_dirs = sorted(
+        ((unquote(d.split("=", 1)[1]), os.path.join(stage, d))
+         for d in os.listdir(stage) if d.startswith(part_key + "=")),
+        key=lambda kv: kv[0])
+    os.makedirs(path, exist_ok=True)
+    last_mtime = 0.0
+    for i, (_ch, d) in enumerate(chunk_dirs):
+        for f in sorted(os.listdir(d)):
+            if not f.startswith("part-"):
+                continue
+            dst = os.path.join(path, f"part-{i:05d}-{f[len('part-'):]}")
+            shutil.move(os.path.join(d, f), dst)
+            target = max(os.path.getmtime(dst), last_mtime + 1.0)
+            os.utime(dst, (target, target))
             last_mtime = target
-        seen = now
-    return len(chunks)
+    shutil.rmtree(stage, ignore_errors=True)
+    return len(chunk_dirs)
 
 
 def edit_sessions_stream(spark: SparkSession, revision_dir: str,
