@@ -175,6 +175,46 @@ class TestStreaming:
         assert (out.n_revisions > 0).all()
 
 
+class TestStreamChunkStaging:
+    def test_one_sorted_file_per_chunk_with_monotone_mtimes(self, spark,
+                                                           tmp_path):
+        """The single-job staging rewrite must preserve the old per-chunk
+        contract: exactly one file per chunk value, rows inside each file
+        sorted by (timestamp, revision_id) — V1Writes strips a local sort
+        that does not lead with the partition column, so this pins the
+        part_key-first ordering — and strictly increasing mtimes in chunk
+        order, with the chunk column still present in the file data."""
+        import os
+
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        rows = [("Q%d" % i, "r0", i,
+                 "2024-0%d-%02dT0%d:00:00Z" % (1 + i % 3, 1 + i % 27, i % 9),
+                 "2024-0%d" % (1 + i % 3))
+                for i in range(300)]
+        rev = spark.createDataFrame(
+            rows, "path string, repo string, revision_id long, "
+                  "timestamp string, chunk string")
+        out = str(tmp_path / "staged")
+        n = streaming.write_revision_stream_chunks(rev, out,
+                                                   chunk_col="chunk")
+        assert n == 3
+        parts = sorted(os.path.join(out, f) for f in os.listdir(out)
+                       if f.startswith("part-"))
+        assert len(parts) == 3  # one file per chunk value
+        mtimes = [os.path.getmtime(p) for p in parts]
+        assert all(b > a for a, b in zip(mtimes, mtimes[1:]))
+        seen_chunks = []
+        for p in parts:
+            pdf = pd.read_parquet(p)
+            assert set(pdf["chunk"].unique()) == {pdf["chunk"].iloc[0]}
+            seen_chunks.append(pdf["chunk"].iloc[0])
+            key = list(zip(pdf["timestamp"], pdf["revision_id"]))
+            assert key == sorted(key)  # in-file event-time order
+        assert seen_chunks == sorted(seen_chunks)  # mtime order == chunk order
+
+
 class TestDocumentQualityStream:
     def test_stream_equals_batch_rollup(self, spark, tmp_path):
         """availableNow stream over a chunked documents dir must produce

@@ -194,17 +194,27 @@ def write_revision_stream_chunks(rev: DataFrame, path: str,
     enforced, not assumed (filesystem mtime granularity can be coarse
     enough for fast writes to tie).  One Spark job total, replacing the
     old one-job-per-chunk loop (plus its distinct+collect job) — same
-    files, same order, same mtime contract.  Returns the number of
-    chunks written."""
+    files, same order, same mtime contract.  ``chunk_col`` must be a
+    STRING column whose lexicographic order is the intended arrival
+    order (every in-repo caller uses zero-padded date strings); chunk
+    order is taken from the partition directory names.  Returns the
+    number of chunks written."""
     import os
     import shutil
     from urllib.parse import unquote
 
     stage = path.rstrip("/") + ".__stage__"
     part_key = "__chunk_part"
+    # the local sort MUST lead with the partition-key column: V1Writes
+    # requires an ordering on the partition columns and would otherwise
+    # insert its own Sort(part_key) — whose alias has a fresh exprId, so
+    # EliminateSorts then strips this one and the files would come out in
+    # input order (verified against Spark 4.1.2).  Leading with part_key
+    # satisfies the writer's requirement and the (timestamp, revision_id)
+    # tail survives into each chunk file.
     (rev.withColumn(part_key, F.col(chunk_col))
      .coalesce(1)
-     .sortWithinPartitions(chunk_col, "timestamp", "revision_id")
+     .sortWithinPartitions(part_key, "timestamp", "revision_id")
      .write.mode("overwrite").partitionBy(part_key).parquet(stage))
 
     chunk_dirs = sorted(
